@@ -1,0 +1,168 @@
+"""Experiment configuration.
+
+The reference spread its configuration over three systems: per-script Click
+options (pldepth/PLDepth.py:28-46), a ``ModelParameters`` dict bag
+(pldepth/models/models_meta.py:27-70) and an INI file (conf/run.ini). This
+module collapses them into one frozen dataclass. The CLI (pldepth_tpu/cli.py)
+preserves the reference's canonical flag names (--model_name, --epochs,
+--batch_size, --seed, --ranking_size, --rankings_per_image, --initial_lr,
+--equality_threshold, --model_checkpoints, --load_model_path, --augmentation,
+--warmup, --sampling_type, --lr_multi, --ds_size).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for SPMD training.
+
+    The reference has no distributed support at all (single-device Keras
+    fit, pldepth/PLDepth.py:176). Here the mesh is first-class: ``data`` is
+    the data-parallel axis (gradients are psum-reduced over ICI by XLA) and
+    ``model`` is reserved for channel/spatial sharding of larger backbones.
+    """
+
+    data: int = -1  # -1 => use all available devices
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+    def resolved_data(self, n_devices: int) -> int:
+        if self.data == -1:
+            assert n_devices % self.model == 0, (
+                f"device count {n_devices} not divisible by model={self.model}"
+            )
+            return n_devices // self.model
+        return self.data
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    # --- reference CLI surface (pldepth/PLDepth.py:28-46) ---
+    model_name: str = "ff_effnet"  # ff_effnet | ff_redweb | ff_effnet_b4 ...
+    epochs: int = 50
+    batch_size: int = 4  # global batch size
+    seed: int = 0
+    ranking_size: int = 3
+    rankings_per_image: int = 100
+    initial_lr: float = 0.01
+    equality_threshold: float = 0.03  # tau of the WHDR ratio test
+    model_checkpoints: bool = False
+    load_model_path: str = ""
+    augmentation: bool = True
+    warmup: int = 0
+    sampling_type: int = 1  # 0=thresholded, 1=info_score, 3=purely_masked
+    lr_multi: float = 0.25
+    ds_size: Optional[int] = None
+
+    # --- data ---
+    dataset: str = "HR-WSI"
+    data_root: str = ""
+    input_size: int = 224  # square model input (reference: 224 or 448)
+    val_rankings_per_img: Optional[int] = None  # defaults to rankings_per_image
+    val_split_denom: int = 15  # reference: take(ds_size//15) as val
+    oversample_factor: int = 5  # sampler candidate multiplier (bs_factor)
+    shuffle_buffer: int = 1024
+    prefetch_depth: int = 2
+
+    # --- schedule / optimizer ---
+    schedule: str = "sgdr"  # sgdr | step | constant
+    lr_decay: float = 0.9
+    sgdr_mult_factor: float = 1.0
+    sgdr_cycle_epochs: Optional[int] = None  # None => epochs (non-cyclic)
+    step_milestones: Tuple[int, ...] = (80, 120, 160, 180)
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-7  # keras Adam default epsilon
+    grad_accum: int = 1
+
+    # --- model ---
+    freeze_encoder: bool = True  # BN-only-trainable encoder, as reference
+    pretrained_path: str = ""  # offline converted backbone weights (.npz)
+    compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
+    remat_encoder: bool = False
+
+    # --- loss ---
+    listmle_impl: str = "auto"  # auto | pallas | xla
+
+    # --- parallelism ---
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # --- observability / io ---
+    output_dir: str = "runs"
+    log_every: int = 10
+    checkpoint_every_epochs: int = 1
+    keep_checkpoints: int = 3
+    use_wandb: bool = False
+    profile: bool = False
+
+    # ------------------------------------------------------------------
+    @property
+    def val_rpi(self) -> int:
+        return (
+            self.val_rankings_per_img
+            if self.val_rankings_per_img is not None
+            else self.rankings_per_image
+        )
+
+    @property
+    def input_shape(self) -> Tuple[int, int, int]:
+        return (self.input_size, self.input_size, 3)
+
+    def replace(self, **kwargs: Any) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kwargs)
+
+    # -- (de)serialization ------------------------------------------------
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "ExperimentConfig":
+        d = dict(d)
+        mesh = d.pop("mesh", None)
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"Unknown config keys: {sorted(unknown)}")
+        cfg = cls(**d)
+        if mesh is not None:
+            if isinstance(mesh, Mapping):
+                mesh_d = dict(mesh)
+                if "axis_names" in mesh_d:
+                    mesh_d["axis_names"] = tuple(mesh_d["axis_names"])
+                mesh = MeshConfig(**mesh_d)
+            cfg = cfg.replace(mesh=mesh)
+        if isinstance(cfg.step_milestones, list):
+            cfg = cfg.replace(step_milestones=tuple(cfg.step_milestones))
+        return cfg
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=str)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExperimentConfig":
+        return cls.from_dict(json.loads(s))
+
+
+SAMPLING_TYPE_NAMES = {
+    # numeric codes preserved from pldepth/PLDepth.py:97-108
+    0: "thresholded",
+    1: "info_score",
+    2: "masked",
+    3: "purely_masked",
+}
+
+
+def sampler_name_for_type(sampling_type: int) -> str:
+    if sampling_type not in SAMPLING_TYPE_NAMES:
+        raise ValueError(
+            f"wrong selection of sampling type: {sampling_type} "
+            f"(valid: {sorted(SAMPLING_TYPE_NAMES)})"
+        )
+    return SAMPLING_TYPE_NAMES[sampling_type]

@@ -1,0 +1,40 @@
+"""On-device image resizing with TF2-matching semantics.
+
+The reference resizes with ``tf.image.resize`` (bilinear, half-pixel centers,
+no antialias — pldepth/data/dao/hr_wsi.py:65-78) and upsamples with Keras
+``UpSampling2D(interpolation='bilinear')`` (same kernel, x2). For WHDR parity
+within the 0.5% budget (BASELINE.md) the rebuild matches those semantics:
+``jax.image.resize`` with ``method='bilinear', antialias=False`` uses the
+identical half-pixel sampling grid. Verified against TF goldens in
+tests/test_resize.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def resize_bilinear(img: jax.Array, size: Sequence[int]) -> jax.Array:
+    """Bilinear resize of (..., H, W, C) to (..., size[0], size[1], C)."""
+    *lead, h, w, c = img.shape
+    out_shape = (*lead, int(size[0]), int(size[1]), c)
+    return jax.image.resize(img, out_shape, method="bilinear", antialias=False)
+
+
+def resize_nearest(img: jax.Array, size: Sequence[int]) -> jax.Array:
+    """Nearest-neighbor resize (masks; reference hr_wsi.py:73-74)."""
+    *lead, h, w = img.shape[:-1] + (img.shape[-1],)
+    if img.ndim == 2:
+        out_shape = (int(size[0]), int(size[1]))
+    else:
+        out_shape = (*img.shape[:-3], int(size[0]), int(size[1]), img.shape[-1])
+    return jax.image.resize(img, out_shape, method="nearest")
+
+
+def upsample2x_bilinear(x: jax.Array) -> jax.Array:
+    """Keras UpSampling2D(interpolation='bilinear') equivalent, NHWC."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="bilinear", antialias=False)

@@ -1,0 +1,185 @@
+"""On-device depth-to-ranking samplers.
+
+TPU-native rebuild of the reference sampling hierarchy
+(pldepth/data/sampling.py:7-243), which ran as per-image Python/numpy loops
+inside ``tf.numpy_function`` on the host (pldepth/data/providers/
+hourglass_provider.py:55-58) — the throughput bottleneck of the whole
+reference pipeline (SURVEY.md §3.1). Here sampling is fixed-shape jax code
+that lives *inside* the jitted train step: masked categorical draws via
+inverse-CDF ``searchsorted`` over the valid-mask cumsum, list sort by depth,
+strategy-specific scoring, and an oversample-then-top-k selection.
+
+Strategy semantics preserved (with file:line provenance):
+
+* ``purely_masked`` — uniform draws over mask>0, each list sorted by
+  ground-truth depth descending; no scoring (sampling.py:106-150).
+* ``masked`` — adds scoring by total adjacent depth spread of the sorted
+  list and keeps the top-RPI of the oversampled pool (sampling.py:153-169).
+  (On a descending-sorted list the adjacent |diff| sum telescopes to
+  max-min; we keep the explicit formula for clarity.)
+* ``thresholded`` — like ``masked`` plus a -1000 penalty per adjacent pair
+  whose tau-ratio relation is "equal" (sampling.py:172-208).
+* ``info_score`` — score = -chi^2 distance between the list's sorted depths
+  and an ideal uniform spread linspace(min+1e-3, max, K+1)[1:], plus the
+  same equality penalty; oversample factor 5 (sampling.py:211-239).
+
+Deviations (deliberate, documented):
+
+* Fixed shapes: the reference's ``purely_masked`` used bs_factor=0.8 and so
+  returned int(0.8*RPI) < RPI lists (sampling.py:131,147-150) — an artifact,
+  not a feature. We always return exactly RPI lists.
+* The ideal spread for ``info_score`` is compared against the *sorted
+  descending* list exactly as the reference does (expected_list ascends while
+  gts_buffer descends — sampling.py:223-233; faithfully kept, since training
+  behavior depends on it).
+* Ties in the top-k selection may order differently than numpy argsort; the
+  selected set is identical for distinct scores.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from pldepth_tpu.sampling.relations import depth_relation
+
+_EQUALITY_PENALTY = -1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerSpec:
+    name: str
+    oversample_factor: float  # candidate pool multiplier (reference bs_factor)
+    scored: bool  # False => take first RPI candidates unscored
+
+
+SAMPLERS: Dict[str, SamplerSpec] = {
+    "purely_masked": SamplerSpec("purely_masked", 1.0, scored=False),
+    "masked": SamplerSpec("masked", 1.5, scored=True),
+    "thresholded": SamplerSpec("thresholded", 1.5, scored=True),
+    "info_score": SamplerSpec("info_score", 5.0, scored=True),
+}
+
+
+def get_sampler(name: str) -> SamplerSpec:
+    if name not in SAMPLERS:
+        raise ValueError(f"unknown sampler {name!r}; have {sorted(SAMPLERS)}")
+    return SAMPLERS[name]
+
+
+def _masked_uniform_points(key, mask_flat, n_points):
+    """Draw ``n_points`` flat indices uniformly from mask>0 via inverse CDF.
+
+    Equivalent to the reference's uniform choice over ``np.where(mask > 0)``
+    coordinates (sampling.py:113). O(log HW) per draw, fully on device.
+    If the mask is empty, falls back to uniform over all pixels.
+    """
+    w = (mask_flat > 0).astype(jnp.float32)
+    total = jnp.sum(w)
+    w = jnp.where(total > 0, w, jnp.ones_like(w))
+    cdf = jnp.cumsum(w)
+    u = jax.random.uniform(key, (n_points,)) * cdf[-1]
+    idx = jnp.searchsorted(cdf, u, side="right")
+    return jnp.clip(idx, 0, mask_flat.shape[0] - 1)
+
+
+def _adjacent_equal_penalties(sorted_depths, threshold):
+    rel = depth_relation(sorted_depths[:, :-1], sorted_depths[:, 1:], threshold)
+    return _EQUALITY_PENALTY * jnp.sum((rel == 0).astype(jnp.float32), axis=-1)
+
+
+def _score_lists(name, sorted_depths, gt_min, gt_max, threshold):
+    """Per-candidate-list selection score (higher = kept). (C, K) -> (C,)."""
+    diffs = jnp.abs(sorted_depths[:, :-1] - sorted_depths[:, 1:])
+    if name == "masked":
+        return jnp.sum(diffs, axis=-1)
+    if name == "thresholded":
+        return jnp.sum(diffs, axis=-1) + _adjacent_equal_penalties(
+            sorted_depths, threshold
+        )
+    if name == "info_score":
+        k = sorted_depths.shape[-1]
+        # linspace(min+0.001, max, K+1)[1:], reference sampling.py:223
+        lo = gt_min + 0.001
+        expected = lo + (gt_max - lo) * jnp.arange(1, k + 1, dtype=jnp.float32) / k
+        chi2 = jnp.sum(
+            jnp.square(sorted_depths - expected[None, :]) / expected[None, :], axis=-1
+        )
+        return -chi2 + _adjacent_equal_penalties(sorted_depths, threshold)
+    raise ValueError(f"no scoring rule for sampler {name!r}")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sampler_name", "rankings_per_image", "ranking_size",
+                              "oversample_factor")
+)
+def sample_rankings(
+    key: jax.Array,
+    gt: jax.Array,
+    mask: jax.Array,
+    *,
+    sampler_name: str,
+    rankings_per_image: int,
+    ranking_size: int,
+    threshold: float = 0.03,
+    oversample_factor: float | None = None,
+) -> jax.Array:
+    """Sample (RPI, K, 2) rankings [flat_pixel_idx, gt_depth] for one image.
+
+    ``gt`` and ``mask`` are (H, W); the mask may be a different resolution
+    than gt, in which case coordinates are rescaled by truncation exactly as
+    the reference does (sampling.py:115-116, int() cast).
+    """
+    spec = get_sampler(sampler_name)
+    factor = oversample_factor if oversample_factor is not None else spec.oversample_factor
+    rpi, k = rankings_per_image, ranking_size
+    n_cand = max(int(rpi * factor), rpi)
+
+    hm, wm = mask.shape
+    hg, wg = gt.shape
+
+    midx = _masked_uniform_points(key, mask.reshape(-1), n_cand * k)
+    mx, my = midx // wm, midx % wm
+    # mask-space -> gt/image-space (truncating scale, reference int() cast)
+    gx = jnp.minimum((mx * hg) // hm, hg - 1)
+    gy = jnp.minimum((my * wg) // wm, wg - 1)
+    depths = gt[gx, gy]
+    flat = (gx * wg + gy).astype(jnp.float32)
+
+    depths = depths.reshape(n_cand, k)
+    flat = flat.reshape(n_cand, k)
+
+    # Sort each list by depth descending (closer-first HR-WSI convention,
+    # sampling.py:121-122).
+    order = jnp.argsort(-depths, axis=-1, stable=True)
+    depths = jnp.take_along_axis(depths, order, axis=-1)
+    flat = jnp.take_along_axis(flat, order, axis=-1)
+
+    if spec.scored:
+        scores = _score_lists(
+            sampler_name, depths, jnp.min(gt), jnp.max(gt), threshold
+        )
+        _, top = jax.lax.top_k(scores, rpi)
+        depths = depths[top]
+        flat = flat[top]
+    else:
+        depths = depths[:rpi]
+        flat = flat[:rpi]
+
+    return jnp.stack([flat, depths], axis=-1)
+
+
+def sample_rankings_batch(
+    key: jax.Array,
+    gts: jax.Array,
+    masks: jax.Array,
+    **kwargs,
+) -> jax.Array:
+    """vmap of :func:`sample_rankings` over the batch dim -> (B, RPI, K, 2)."""
+    keys = jax.random.split(key, gts.shape[0])
+    fn = functools.partial(sample_rankings, **kwargs)
+    return jax.vmap(fn)(keys, gts, masks)

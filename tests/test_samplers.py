@@ -1,0 +1,155 @@
+"""Property tests for on-device ranking samplers (SURVEY.md §4 strategy:
+mask adherence, descending order, tau-filtering, chi2-score behavior)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pldepth_tpu.sampling import sample_rankings, sample_rankings_batch, depth_relation
+
+
+H = W = 32
+RPI, K = 16, 5
+
+
+def make_image(rng, mask_frac=0.6):
+    gt = rng.uniform(0.05, 1.0, size=(H, W)).astype(np.float32)
+    mask = (rng.uniform(size=(H, W)) < mask_frac).astype(np.float32)
+    mask[0, 0] = 1.0  # never fully empty
+    return jnp.array(gt), jnp.array(mask)
+
+
+@pytest.mark.parametrize(
+    "name", ["purely_masked", "masked", "thresholded", "info_score"]
+)
+def test_shapes_and_mask_adherence(name, rng):
+    gt, mask = make_image(rng)
+    out = sample_rankings(
+        jax.random.key(0), gt, mask,
+        sampler_name=name, rankings_per_image=RPI, ranking_size=K,
+    )
+    out = np.asarray(out)
+    assert out.shape == (RPI, K, 2)
+    idx = out[..., 0].astype(np.int64)
+    assert idx.min() >= 0 and idx.max() < H * W
+    mask_np = np.asarray(mask).reshape(-1)
+    assert np.all(mask_np[idx.reshape(-1)] > 0), "sampled a masked-out pixel"
+    # stored depth must equal gt at the stored flat index
+    gt_np = np.asarray(gt).reshape(-1)
+    np.testing.assert_allclose(out[..., 1], gt_np[idx], rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "name", ["purely_masked", "masked", "thresholded", "info_score"]
+)
+def test_lists_sorted_descending(name, rng):
+    gt, mask = make_image(rng)
+    out = np.asarray(
+        sample_rankings(
+            jax.random.key(1), gt, mask,
+            sampler_name=name, rankings_per_image=RPI, ranking_size=K,
+        )
+    )
+    d = out[..., 1]
+    assert np.all(np.diff(d, axis=-1) <= 1e-7), "lists must be depth-descending"
+
+
+def test_thresholded_avoids_equal_pairs(rng):
+    # With plenty of spread available, the thresholded sampler's -1000
+    # penalty should push tau-equal adjacent pairs out of the kept lists.
+    gt, mask = make_image(rng)
+    out = np.asarray(
+        sample_rankings(
+            jax.random.key(2), gt, mask,
+            sampler_name="thresholded", rankings_per_image=8, ranking_size=3,
+            oversample_factor=8.0,
+        )
+    )
+    rel = np.asarray(depth_relation(out[:, :-1, 1], out[:, 1:, 1], 0.03))
+    frac_equal = (rel == 0).mean()
+    assert frac_equal < 0.2, f"too many tau-equal adjacent pairs: {frac_equal}"
+
+
+def test_info_score_beats_random_on_chi2(rng):
+    """Info-score sampling must yield lower chi2 distance to the ideal
+    uniform spread than purely-random sampling (the property measured by the
+    reference's chi2compare.py diagnostic)."""
+    gt, mask = make_image(rng, mask_frac=1.0)
+
+    def mean_chi2(name, key):
+        out = np.asarray(
+            sample_rankings(
+                jax.random.key(key), gt, mask,
+                sampler_name=name, rankings_per_image=32, ranking_size=K,
+            )
+        )
+        d = out[..., 1]
+        lo, hi = float(np.asarray(gt).min()) + 0.001, float(np.asarray(gt).max())
+        expected = lo + (hi - lo) * np.arange(1, K + 1) / K
+        return np.mean(np.sum((d - expected) ** 2 / expected, axis=-1))
+
+    info = np.mean([mean_chi2("info_score", s) for s in range(3)])
+    rand = np.mean([mean_chi2("purely_masked", s) for s in range(3)])
+    assert info < rand, (info, rand)
+
+
+def test_uniformity_over_mask(rng):
+    # Empirical distribution over valid pixels should be near-uniform.
+    gt = jnp.array(rng.uniform(0.1, 1.0, size=(8, 8)).astype(np.float32))
+    mask = np.zeros((8, 8), np.float32)
+    mask[:4, :] = 1.0
+    out = np.asarray(
+        sample_rankings(
+            jax.random.key(3), gt, jnp.array(mask),
+            sampler_name="purely_masked", rankings_per_image=512, ranking_size=4,
+        )
+    )
+    idx = out[..., 0].astype(int).reshape(-1)
+    counts = np.bincount(idx, minlength=64)
+    assert counts[32:].sum() == 0
+    valid_counts = counts[:32]
+    # chi-square-ish sanity: no pixel should be wildly over/under-sampled
+    expect = idx.size / 32
+    assert valid_counts.min() > 0.3 * expect
+    assert valid_counts.max() < 3.0 * expect
+
+
+def test_mask_resolution_rescaling(rng):
+    # mask at half resolution of gt: coordinates scale by truncation
+    gt = jnp.array(rng.uniform(0.1, 1.0, size=(16, 16)).astype(np.float32))
+    mask = np.zeros((8, 8), np.float32)
+    mask[:, :4] = 1.0  # left half valid
+    out = np.asarray(
+        sample_rankings(
+            jax.random.key(4), gt, jnp.array(mask),
+            sampler_name="purely_masked", rankings_per_image=64, ranking_size=3,
+        )
+    )
+    ys = out[..., 0].astype(int) % 16
+    assert ys.max() < 8, "scaled coordinates escaped the valid half"
+
+
+def test_batched_sampling_distinct_per_image(rng):
+    gts = jnp.array(rng.uniform(0.1, 1.0, size=(3, H, W)).astype(np.float32))
+    masks = jnp.ones((3, H, W), jnp.float32)
+    out = np.asarray(
+        sample_rankings_batch(
+            jax.random.key(5), gts, masks,
+            sampler_name="info_score", rankings_per_image=RPI, ranking_size=K,
+        )
+    )
+    assert out.shape == (3, RPI, K, 2)
+    assert not np.allclose(out[0], out[1]), "per-image keys must differ"
+
+
+def test_empty_mask_fallback(rng):
+    gt, _ = make_image(rng)
+    mask = jnp.zeros((H, W), jnp.float32)
+    out = np.asarray(
+        sample_rankings(
+            jax.random.key(6), gt, mask,
+            sampler_name="masked", rankings_per_image=4, ranking_size=3,
+        )
+    )
+    assert np.isfinite(out).all()
