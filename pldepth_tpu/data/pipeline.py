@@ -1,0 +1,149 @@
+"""Host batch pipeline: shuffle, batch, background prefetch.
+
+Replaces the reference's ``tf.data`` provider plumbing
+(pldepth/data/providers/hourglass_provider.py:29-73). The division of labor
+is different by design: the host only decodes and batches raw
+(image, gt, mask) arrays; augmentation and ranking sampling moved inside the
+jitted train step (see train/trainer.py). Validation rankings are still
+pre-generated once so the val loss is comparable across epochs (reference
+behavior, hourglass_provider.py:64-73) — but with the *device* sampler in one
+batched call instead of a tqdm Python loop per image
+(hourglass_provider.py:183-193).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from pldepth_tpu.data.datasets import DepthDataset
+from pldepth_tpu.sampling import sample_rankings_batch
+
+
+def train_val_split(ds: DepthDataset, denom: int = 15) -> Tuple[DepthDataset, DepthDataset]:
+    """Reference split: first ds_size//denom samples are validation
+    (pldepth/PLDepth.py:142-147)."""
+    n_val = len(ds) // denom
+    return ds.skip(n_val), ds.take(n_val)
+
+
+def _stack(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class BatchIterator:
+    """Infinite shuffled batch iterator with a background prefetch thread.
+
+    drop_remainder semantics like the reference's ``.batch(batch_size,
+    drop_remainder=True)`` (hourglass_provider.py:60-62): fixed shapes only.
+    """
+
+    def __init__(
+        self,
+        ds: DepthDataset,
+        batch_size: int,
+        seed: int = 0,
+        shuffle: bool = True,
+        prefetch: int = 2,
+        loop: bool = True,
+    ):
+        if len(ds) < batch_size:
+            raise ValueError(
+                f"dataset of {len(ds)} samples cannot fill a batch of {batch_size}"
+            )
+        self.ds = ds
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.loop = loop
+        self.rng = np.random.default_rng(seed)
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._stopped = False
+        self._thread.start()
+
+    def _index_stream(self):
+        while True:
+            idx = np.arange(len(self.ds))
+            if self.shuffle:
+                self.rng.shuffle(idx)
+            n_batches = len(idx) // self.batch_size
+            for b in range(n_batches):
+                yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if not self.loop:
+                return
+
+    def _producer(self):
+        try:
+            for batch_idx in self._index_stream():
+                if self._stopped:
+                    return
+                self._q.put(_stack([self.ds[int(i)] for i in batch_idx]))
+            self._q.put(None)
+        except Exception as e:  # pragma: no cover
+            self._q.put(e)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        item = self._q.get()
+        if item is None:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self):
+        self._stopped = True
+
+
+def pregenerate_val_rankings(
+    ds: DepthDataset,
+    *,
+    sampler_name: str,
+    rankings_per_image: int,
+    ranking_size: int,
+    threshold: float = 0.03,
+    seed: int = 0,
+    chunk: int = 16,
+) -> np.ndarray:
+    """(N, RPI, K, 2) fixed validation rankings, generated on device.
+
+    The reference used the thresholded sampler for validation regardless of
+    the training strategy (hourglass_provider.py:22); callers preserve that
+    by passing sampler_name="thresholded".
+    """
+    out = []
+    key = jax.random.key(seed)
+    for start in range(0, len(ds), chunk):
+        items = [ds[i] for i in range(start, min(start + chunk, len(ds)))]
+        gts = np.stack([s["gt"] for s in items])
+        masks = np.stack([s["mask"] for s in items])
+        r = sample_rankings_batch(
+            jax.random.fold_in(key, start),
+            gts,
+            masks,
+            sampler_name=sampler_name,
+            rankings_per_image=rankings_per_image,
+            ranking_size=ranking_size,
+            threshold=threshold,
+        )
+        out.append(np.asarray(r))
+    return np.concatenate(out, axis=0)
+
+
+def val_batches(
+    ds: DepthDataset, rankings: np.ndarray, batch_size: int
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Fixed-order validation batches carrying pre-generated rankings."""
+    n_batches = len(ds) // batch_size
+    for b in range(n_batches):
+        items = [ds[i] for i in range(b * batch_size, (b + 1) * batch_size)]
+        yield {
+            "image": np.stack([s["image"] for s in items]),
+            "rankings": rankings[b * batch_size : (b + 1) * batch_size],
+        }

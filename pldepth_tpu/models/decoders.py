@@ -1,0 +1,155 @@
+"""Depth-map decoders: skip-concat (EffNet) and ReDWeb feature-fusion.
+
+Both re-derive the reference decoder topologies as Flax modules:
+
+* :class:`SkipConcatDecoder` — the "fully fledged" EfficientNet decoder of
+  pldepth/models/pl_hourglass.py:59-98: five conv/BN/ReLU + bilinear-x2
+  stages, concatenating encoder expand-activation taps at 1/16, 1/8 and 1/4
+  resolution, 1-channel conv head. Channel widths follow the tap widths
+  (672/240/144/32/32 for B0 — scales automatically for wider variants).
+
+* :class:`ReDWebDecoder` — the ResNet decoder of pldepth/models/redweb.py:
+  402-434: three :class:`FeatureFusion` stages (225-290) over residual
+  double-bottleneck blocks (67-183) plus an :class:`AdaptiveOutput` head
+  (293-351).
+
+Upsampling is bilinear with TF half-pixel semantics (ops/resize.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pldepth_tpu.ops.resize import upsample2x_bilinear
+
+
+def _bn(name: str, train: bool):
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.99, epsilon=1e-3,
+        dtype=jnp.float32, name=name,
+    )
+
+
+class SkipConcatDecoder(nn.Module):
+    """(top 1/32, taps expand_6/4/3) -> full-resolution 1-channel depth map."""
+
+    head_ch: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, top, taps, train: bool = False):
+        def conv_bn_relu_up(x, ch, idx):
+            x = nn.Conv(
+                ch, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{idx}"
+            )(x)
+            x = nn.relu(_bn(f"bn{idx}", train)(x).astype(self.dtype))
+            return upsample2x_bilinear(x)
+
+        x = conv_bn_relu_up(top, taps["expand_6"].shape[-1], 0)  # -> 1/16
+        x = jnp.concatenate([x, taps["expand_6"]], axis=-1)
+        x = conv_bn_relu_up(x, taps["expand_4"].shape[-1], 1)  # -> 1/8
+        x = jnp.concatenate([x, taps["expand_4"]], axis=-1)
+        x = conv_bn_relu_up(x, taps["expand_3"].shape[-1], 2)  # -> 1/4
+        x = jnp.concatenate([x, taps["expand_3"]], axis=-1)
+        x = conv_bn_relu_up(x, self.head_ch, 3)  # -> 1/2
+        x = conv_bn_relu_up(x, self.head_ch, 4)  # -> 1/1
+        x = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="head")(x)
+        return x.astype(jnp.float32)
+
+
+class ResidualBottleneckPair(nn.Module):
+    """Two chained residual bottleneck units at constant width
+    (reference BottleneckConvLayer, redweb.py:67-183)."""
+
+    ch: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for u in range(2):
+            res = x
+            y = nn.Conv(
+                self.ch // 4, (1, 1), use_bias=False, dtype=self.dtype,
+                name=f"u{u}_conv0",
+            )(x)
+            y = nn.relu(_bn(f"u{u}_bn0", train)(y).astype(self.dtype))
+            y = nn.Conv(
+                self.ch // 4, (3, 3), padding="SAME", use_bias=False,
+                dtype=self.dtype, name=f"u{u}_conv1",
+            )(y)
+            y = nn.relu(_bn(f"u{u}_bn1", train)(y).astype(self.dtype))
+            y = nn.Conv(
+                self.ch, (1, 1), use_bias=False, dtype=self.dtype, name=f"u{u}_conv2"
+            )(y)
+            y = _bn(f"u{u}_bn2", train)(y).astype(self.dtype)
+            x = nn.relu(y + res)
+        return x
+
+
+class FeatureFusion(nn.Module):
+    """Fuse a lateral encoder tap with the upsampled decoder path
+    (reference FeatureFusionLayer, redweb.py:225-290)."""
+
+    ch: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, lateral, up, train: bool):
+        left = nn.Conv(
+            self.ch, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype,
+            name="lateral_conv",
+        )(lateral)
+        left = _bn("lateral_bn", train)(left).astype(self.dtype)
+        left = ResidualBottleneckPair(self.ch, dtype=self.dtype, name="lateral_block")(
+            left, train
+        )
+        top = nn.Conv(
+            self.ch, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype,
+            name="up_conv",
+        )(up)
+        top = _bn("up_bn", train)(top).astype(self.dtype)
+        x = left + top
+        x = ResidualBottleneckPair(self.ch, dtype=self.dtype, name="fuse_block")(
+            x, train
+        )
+        return upsample2x_bilinear(x)
+
+
+class AdaptiveOutput(nn.Module):
+    """Depth head (reference AdaptiveOutputLayer, redweb.py:293-351)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv0")(x)
+        x = nn.relu(_bn("bn0", train)(x).astype(self.dtype))
+        x = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x)
+        x = upsample2x_bilinear(x)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv2")(x)
+        return x.astype(jnp.float32)
+
+
+class ReDWebDecoder(nn.Module):
+    """(c5 1/32, taps c4_mid/c3/c2) -> full-resolution 1-channel depth map."""
+
+    fusion_ch: Sequence[int] = (256, 128, 64)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, c5, taps, train: bool = False):
+        x = upsample2x_bilinear(c5)  # 1/32 -> 1/16
+        x = FeatureFusion(self.fusion_ch[0], dtype=self.dtype, name="fusion0")(
+            taps["c4_mid"], x, train
+        )  # -> 1/8
+        x = FeatureFusion(self.fusion_ch[1], dtype=self.dtype, name="fusion1")(
+            taps["c3"], x, train
+        )  # -> 1/4
+        x = FeatureFusion(self.fusion_ch[2], dtype=self.dtype, name="fusion2")(
+            taps["c2"], x, train
+        )  # -> 1/2
+        return AdaptiveOutput(dtype=self.dtype, name="output")(x, train)  # -> 1/1

@@ -1,0 +1,199 @@
+"""EfficientNet encoder family (B0..B7) in Flax, with decoder feature taps.
+
+From-scratch TPU-first implementation of the encoder the reference pulls in
+as ``keras.applications.EfficientNetB0`` (pldepth/models/pl_hourglass.py:48).
+The reference taps three intermediate activations for its decoder skip
+connections — the *expansion-conv activations* of the first block of stages
+3, 4 and 6 ("block3a/4a/6a_expand_activation",
+pldepth/models/pl_hourglass.py:65,74,83), at 1/4, 1/8 and 1/16 input
+resolution — plus the final 1280-channel top activation at 1/32. This module
+returns exactly those taps.
+
+TPU-first choices: NHWC layout (XLA-native conv layout on TPU), bfloat16
+compute with float32 params and float32 batch-norm, compile-time static
+architecture (the width/depth scaling resolves at trace time), optional
+``jax.checkpoint`` rematerialization per stage.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# (expand_ratio, channels, repeats, stride, kernel) for B0, per stage 1..7.
+_STAGE_DEFS = (
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+)
+
+# width_coefficient, depth_coefficient (resolution is caller-chosen)
+VARIANTS: Dict[str, Tuple[float, float]] = {
+    "b0": (1.0, 1.0),
+    "b1": (1.0, 1.1),
+    "b2": (1.1, 1.2),
+    "b3": (1.2, 1.4),
+    "b4": (1.4, 1.8),
+    "b5": (1.6, 2.2),
+    "b6": (1.8, 2.6),
+    "b7": (2.0, 3.1),
+}
+
+# stages whose first-block expand activation feeds the decoder, and the
+# resolution (fraction of input) of each tap
+DECODER_TAP_STAGES = (3, 4, 6)
+
+
+def round_filters(filters: int, width: float, divisor: int = 8) -> int:
+    filters *= width
+    new = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new < 0.9 * filters:
+        new += divisor
+    return int(new)
+
+
+def round_repeats(repeats: int, depth: float) -> int:
+    return int(math.ceil(depth * repeats))
+
+
+class SqueezeExcite(nn.Module):
+    reduce_ch: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        se = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        se = nn.Conv(self.reduce_ch, (1, 1), dtype=self.dtype, name="reduce")(
+            se.astype(self.dtype)
+        )
+        se = nn.swish(se)
+        se = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(se)
+        return x * jax.nn.sigmoid(se.astype(jnp.float32)).astype(x.dtype)
+
+
+def _bn(name: str, train: bool):
+    # float32 batch-norm (stats and affine in fp32) under bf16 compute
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.99,
+        epsilon=1e-3,
+        dtype=jnp.float32,
+        name=name,
+    )
+
+
+class MBConv(nn.Module):
+    """Mobile inverted bottleneck with SE; optionally emits its expand tap."""
+
+    in_ch: int
+    out_ch: int
+    expand: int
+    kernel: int
+    stride: int
+    se_ratio: float = 0.25
+    drop_rate: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        inputs = x
+        expand_act = None
+        if self.expand != 1:
+            x = nn.Conv(
+                self.in_ch * self.expand, (1, 1), use_bias=False,
+                dtype=self.dtype, name="expand_conv",
+            )(x)
+            x = _bn("expand_bn", train)(x).astype(self.dtype)
+            x = nn.swish(x)
+            expand_act = x  # "blockXa_expand_activation" tap point
+        k = self.kernel
+        x = nn.Conv(
+            x.shape[-1], (k, k), strides=self.stride, padding="SAME",
+            feature_group_count=x.shape[-1], use_bias=False,
+            dtype=self.dtype, name="dw_conv",
+        )(x)
+        x = _bn("dw_bn", train)(x).astype(self.dtype)
+        x = nn.swish(x)
+        if self.se_ratio > 0:
+            x = SqueezeExcite(
+                max(1, int(self.in_ch * self.se_ratio)), dtype=self.dtype, name="se"
+            )(x)
+        x = nn.Conv(
+            self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="project_conv"
+        )(x)
+        x = _bn("project_bn", train)(x).astype(self.dtype)
+        if self.stride == 1 and self.in_ch == self.out_ch:
+            if self.drop_rate > 0 and train:
+                keep = 1.0 - self.drop_rate
+                rng = self.make_rng("droppath")
+                mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1))
+                x = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+            x = x + inputs
+        return x, expand_act
+
+
+class EfficientNetEncoder(nn.Module):
+    """Returns ``(top, taps)``: the 1/32 top activation and decoder taps.
+
+    taps = {"expand_3": 1/4 res, "expand_4": 1/8, "expand_6": 1/16}.
+    """
+
+    variant: str = "b0"
+    drop_connect_rate: float = 0.2
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width, depth = VARIANTS[self.variant]
+        x = x.astype(self.dtype)
+
+        x = nn.Conv(
+            round_filters(32, width), (3, 3), strides=2, padding="SAME",
+            use_bias=False, dtype=self.dtype, name="stem_conv",
+        )(x)
+        x = _bn("stem_bn", train)(x).astype(self.dtype)
+        x = nn.swish(x)
+
+        taps: Dict[str, jax.Array] = {}
+        total_blocks = sum(round_repeats(r, depth) for (_, _, r, _, _) in _STAGE_DEFS)
+        block_idx = 0
+        in_ch = round_filters(32, width)
+        for stage_num, (expand, ch, repeats, stride, kernel) in enumerate(
+            _STAGE_DEFS, start=1
+        ):
+            out_ch = round_filters(ch, width)
+            for i in range(round_repeats(repeats, depth)):
+                # remat (if requested) is applied at the train-step level via
+                # jax.checkpoint policies; blocks stay plain modules here.
+                blk = MBConv(
+                    in_ch=in_ch,
+                    out_ch=out_ch,
+                    expand=expand,
+                    kernel=kernel,
+                    stride=stride if i == 0 else 1,
+                    drop_rate=self.drop_connect_rate * block_idx / total_blocks,
+                    dtype=self.dtype,
+                    name=f"stage{stage_num}_block{i}",
+                )
+                x, expand_act = blk(x, train)
+                if i == 0 and stage_num in DECODER_TAP_STAGES:
+                    taps[f"expand_{stage_num}"] = expand_act
+                in_ch = out_ch
+                block_idx += 1
+
+        x = nn.Conv(
+            round_filters(1280, width), (1, 1), use_bias=False,
+            dtype=self.dtype, name="top_conv",
+        )(x)
+        x = _bn("top_bn", train)(x).astype(self.dtype)
+        x = nn.swish(x)
+        return x, taps

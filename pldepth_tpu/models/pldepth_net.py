@@ -1,0 +1,127 @@
+"""Model factory: fully-fledged depth networks + parameter partitioning.
+
+Replaces the reference factory ``get_pl_depth_net``
+(pldepth/models/PLDepthNet.py:6-21) and model-type lookup
+(pldepth/models/models_meta.py:13-24). Extends the family with scaled
+EfficientNet variants (``ff_effnet_b4`` for the v5e-16 pretrain config in
+BASELINE.md) while preserving the reference names ``ff_effnet`` /
+``ff_redweb``.
+
+Encoder freezing: the reference freezes every encoder layer except
+BatchNorm (pl_hourglass.py:53-57, redweb.py:412-416). Here that is a
+*parameter partition*: :func:`partition_params` labels each param "frozen" or
+"trainable" so the optimizer applies zero updates to frozen leaves
+(train/trainer.py uses optax.multi_transform). BN running statistics always
+update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pldepth_tpu.models.decoders import ReDWebDecoder, SkipConcatDecoder
+from pldepth_tpu.models.efficientnet import VARIANTS, EfficientNetEncoder
+from pldepth_tpu.models.resnet import ResNet50Encoder
+
+
+class EffNetFullyFledged(nn.Module):
+    """EfficientNet encoder + skip-concat decoder -> (B, H, W, 1) depth.
+
+    HR-WSI depth convention: output is *descending* depth order (higher =
+    closer; reference pl_hourglass.py:22-31 ``asc_depth_order=False``).
+    """
+
+    variant: str = "b0"
+    dtype: Any = jnp.bfloat16
+    asc_depth_order: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        top, taps = EfficientNetEncoder(
+            variant=self.variant, dtype=self.dtype, name="encoder"
+        )(x, train)
+        return SkipConcatDecoder(dtype=self.dtype, name="decoder")(top, taps, train)
+
+
+class ReDWebFullyFledged(nn.Module):
+    """ResNet-50 encoder + ReDWeb feature-fusion decoder."""
+
+    dtype: Any = jnp.bfloat16
+    asc_depth_order: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c5, taps = ResNet50Encoder(dtype=self.dtype, name="encoder")(x, train)
+        return ReDWebDecoder(dtype=self.dtype, name="decoder")(c5, taps, train)
+
+
+@dataclasses.dataclass(frozen=True)
+class PLDepthModel:
+    name: str
+    module: nn.Module
+    preprocess: str  # normalization family for data/preprocess.py
+    asc_depth_order: bool = False
+
+    def init_variables(self, rng: jax.Array, input_shape, train: bool = False):
+        dummy = jnp.zeros((1, *input_shape), jnp.float32)
+        rngs = {"params": rng, "droppath": jax.random.fold_in(rng, 1)}
+        return self.module.init(rngs, dummy, train)
+
+
+MODEL_REGISTRY: Dict[str, Callable[..., PLDepthModel]] = {
+    "ff_effnet": lambda dtype=jnp.bfloat16: PLDepthModel(
+        "ff_effnet", EffNetFullyFledged(variant="b0", dtype=dtype), "effnet"
+    ),
+    "ff_redweb": lambda dtype=jnp.bfloat16: PLDepthModel(
+        "ff_redweb", ReDWebFullyFledged(dtype=dtype), "caffe"
+    ),
+}
+for _v in VARIANTS:
+    if _v != "b0":
+        MODEL_REGISTRY[f"ff_effnet_{_v}"] = (
+            lambda dtype=jnp.bfloat16, _v=_v: PLDepthModel(
+                f"ff_effnet_{_v}",
+                EffNetFullyFledged(variant=_v, dtype=dtype),
+                "effnet",
+            )
+        )
+
+
+def get_model_type_by_name(model_name: str) -> str:
+    """Reference-name validation (models_meta.py:18-24), extended variants."""
+    if model_name not in MODEL_REGISTRY:
+        raise ValueError(
+            f"Unknown model name: {model_name} (have {sorted(MODEL_REGISTRY)})"
+        )
+    return model_name
+
+
+def get_pl_depth_net(model_name: str, compute_dtype: str = "bfloat16") -> PLDepthModel:
+    get_model_type_by_name(model_name)
+    dtype = jnp.dtype(compute_dtype)
+    return MODEL_REGISTRY[model_name](dtype=dtype)
+
+
+def partition_params(params, freeze_encoder: bool = True):
+    """Label each param leaf "trainable" / "frozen".
+
+    Frozen = encoder params that are not batch-norm affine, matching the
+    reference's BN-only-trainable encoders (pl_hourglass.py:53-57). Flax
+    batch-norm params live under module names ending in "bn"/"_bn*" with
+    leaf names scale/bias.
+    """
+
+    def label(path: Tuple, _leaf) -> str:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        in_encoder = any(k == "encoder" for k in keys)
+        is_bn = any(isinstance(k, str) and ("bn" == k or k.endswith("bn") or "_bn" in k) for k in keys)
+        if freeze_encoder and in_encoder and not is_bn:
+            return "frozen"
+        return "trainable"
+
+    return jax.tree_util.tree_map_with_path(label, params)

@@ -1,0 +1,73 @@
+"""Offline pretrained-backbone import.
+
+The reference gets ImageNet weights implicitly from
+``keras.applications.EfficientNetB0/ResNet50`` downloads
+(pldepth/models/pl_hourglass.py:48, redweb.py:410). This environment has no
+network egress, so pretrained weights must be supplied as a local ``.npz``
+produced offline by :func:`convert_keras_h5` / :func:`convert_torch_state`
+(key layout documented there). When no file is given, training falls back to
+random init — in that case ``freeze_encoder`` should be disabled
+(a frozen random encoder cannot learn; the Trainer warns).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def load_backbone(path: str, params, batch_stats) -> Tuple[Any, Any]:
+    """Overlay a converted-weights .npz onto freshly-initialized variables.
+
+    The archive maps flattened pytree paths ("params/encoder/stem_conv/kernel"
+    and "batch_stats/encoder/stem_bn/mean") to arrays. Missing keys keep
+    their random init; shape mismatches raise.
+    """
+    archive = np.load(path)
+    tree = {"params": params, "batch_stats": batch_stats}
+    flat = dict(jax.tree_util.tree_flatten_with_path(tree)[0])
+
+    def key_str(path_tuple):
+        return "/".join(str(getattr(p, "key", p)) for p in path_tuple)
+
+    by_name = {key_str(k): k for k in flat}
+    loaded, skipped = 0, 0
+    updates = {}
+    for name in archive.files:
+        if name not in by_name:
+            skipped += 1
+            continue
+        k = by_name[name]
+        cur = flat[k]
+        arr = archive[name]
+        if cur.shape != arr.shape:
+            raise ValueError(
+                f"pretrained weight {name}: shape {arr.shape} != model {cur.shape}"
+            )
+        updates[k] = arr.astype(np.asarray(cur).dtype)
+        loaded += 1
+
+    def maybe_replace(path_tuple, leaf):
+        return updates.get(path_tuple, leaf)
+
+    new_tree = jax.tree_util.tree_map_with_path(maybe_replace, tree)
+    log.info("pretrained import: %d tensors loaded, %d unmatched", loaded, skipped)
+    if loaded == 0:
+        raise ValueError(f"no tensors in {path} matched the model tree")
+    return new_tree["params"], new_tree["batch_stats"]
+
+
+def save_backbone(path: str, params, batch_stats) -> None:
+    """Inverse of :func:`load_backbone` (used to snapshot converted weights)."""
+    tree = {"params": params, "batch_stats": batch_stats}
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out: Dict[str, np.ndarray] = {}
+    for path_tuple, leaf in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path_tuple)
+        out[name] = np.asarray(leaf)
+    np.savez(path, **out)

@@ -1,0 +1,108 @@
+"""Learning-rate schedules as pure step->lr functions (optax-compatible).
+
+Replaces the reference's Keras callbacks:
+
+* :func:`sgdr_schedule` — SGDR cosine annealing with warm restarts
+  (pldepth/util/training_utils.py:20-97). The reference always ran it
+  *non-cyclically* (cycle_length=epochs, mult_factor=1 —
+  pldepth/PLDepth.py:121-126), which is one cosine decay from max_lr to
+  min_lr over the whole run; restarts (lr_decay, mult_factor) are supported
+  for parity with the callback's full semantics.
+* :func:`step_decay_schedule` — milestone step decay with linear warmup
+  (LearningRateScheduleProvider, training_utils.py:102-135).
+
+Being pure jnp functions of the step counter, they trace into the jitted
+train step — no host callback mutates optimizer state between batches.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+from pldepth_tpu.core.config import ExperimentConfig
+
+
+def sgdr_schedule(
+    max_lr: float,
+    min_lr: float,
+    steps_per_cycle: int,
+    lr_decay: float = 1.0,
+    mult_factor: float = 1.0,
+):
+    """lr(t) = min + 0.5*(max*decay^c - min)*(1 + cos(pi * frac_in_cycle))."""
+
+    def schedule(step):
+        t = jnp.asarray(step, jnp.float32)
+        l0 = jnp.float32(steps_per_cycle)
+        if mult_factor == 1.0:
+            cycle = jnp.floor(t / l0)
+            frac = (t - cycle * l0) / l0
+        else:
+            m = jnp.float32(mult_factor)
+            # cycle c starts at l0*(m^c - 1)/(m - 1)
+            cycle = jnp.floor(
+                jnp.log1p(t * (m - 1.0) / l0) / jnp.log(m)
+            )
+            start = l0 * (jnp.power(m, cycle) - 1.0) / (m - 1.0)
+            length = l0 * jnp.power(m, cycle)
+            frac = (t - start) / length
+        frac = jnp.clip(frac, 0.0, 1.0)
+        peak = jnp.float32(max_lr) * jnp.power(jnp.float32(lr_decay), cycle)
+        return jnp.float32(min_lr) + 0.5 * (peak - jnp.float32(min_lr)) * (
+            1.0 + jnp.cos(frac * math.pi)
+        )
+
+    return schedule
+
+
+def step_decay_schedule(
+    init_lr: float,
+    steps_per_epoch: int,
+    milestones: Sequence[int] = (80, 120, 160, 180),
+    multiplier: float = 0.1,
+    warmup_epochs: int = 0,
+):
+    """Epoch-milestone decay with linear warmup, expressed per step."""
+
+    ms = jnp.asarray(sorted(milestones), jnp.float32)
+
+    def schedule(step):
+        epoch = jnp.asarray(step, jnp.float32) / float(steps_per_epoch)
+        n_hit = jnp.sum(epoch >= ms)
+        lr = jnp.float32(init_lr) * jnp.power(jnp.float32(multiplier), n_hit)
+        if warmup_epochs > 0:
+            warm = (jnp.floor(epoch) + 1.0) * init_lr / float(warmup_epochs)
+            lr = jnp.where(epoch < warmup_epochs, warm, lr)
+        return lr
+
+    return schedule
+
+
+def build_schedule(cfg: ExperimentConfig, steps_per_epoch: int):
+    if cfg.schedule == "sgdr":
+        # Deviation noted: the reference passes min_lr=initial_lr*(1/lr_multi)
+        # (pldepth/PLDepth.py:121) which with the default lr_multi=0.25 makes
+        # min_lr 4x *larger* than max_lr, i.e. a rising schedule — an apparent
+        # sign slip. We decay to initial_lr*lr_multi (the SGDR intent).
+        cycle_epochs = cfg.sgdr_cycle_epochs or cfg.epochs
+        return sgdr_schedule(
+            max_lr=cfg.initial_lr,
+            min_lr=cfg.initial_lr * cfg.lr_multi,
+            steps_per_cycle=max(1, steps_per_epoch * cycle_epochs),
+            lr_decay=cfg.lr_decay,
+            mult_factor=cfg.sgdr_mult_factor,
+        )
+    if cfg.schedule == "step":
+        return step_decay_schedule(
+            init_lr=cfg.initial_lr,
+            steps_per_epoch=max(1, steps_per_epoch),
+            milestones=cfg.step_milestones,
+            multiplier=cfg.lr_multi,
+            warmup_epochs=cfg.warmup,
+        )
+    if cfg.schedule == "constant":
+        return lambda step: jnp.float32(cfg.initial_lr)
+    raise ValueError(f"unknown schedule {cfg.schedule!r}")

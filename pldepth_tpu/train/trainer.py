@@ -1,0 +1,334 @@
+"""The single Trainer: jitted SPMD train step with fused on-device sampling.
+
+The reference had *no* shared trainer — every experiment script re-assembled
+params -> sampler -> model -> loss -> optimizer -> datasets -> callbacks ->
+``model.fit`` by copy-paste (SURVEY.md §1; compare pldepth/PLDepth.py:47-177
+with run_scripts/rnd_PLDepth.py:49-152 etc.). This class is the one train
+loop all entry points share.
+
+TPU-first design:
+
+* One jitted ``train_step`` does flip augmentation, ranking sampling,
+  normalization, forward, fused ListMLE loss, backward and the optimizer
+  update — zero host work per step beyond feeding the raw (image, gt, mask)
+  batch. The reference crossed the host boundary every step for sampling
+  (tf.numpy_function, hourglass_provider.py:55-58).
+* Data parallelism via ``NamedSharding`` over the mesh's "data" axis: the
+  batch is sharded, state replicated; XLA inserts the gradient psum over ICI.
+* Encoder freezing is an ``optax.multi_transform`` partition (zero updates
+  to frozen leaves) rather than Keras layer.trainable flags.
+* NaN guard: jitted all-finite check folded into the step output
+  (reference: keras TerminateOnNaN callback, PLDepth.py:163).
+* Checkpoint/resume via Orbax (params + BN stats + optimizer state + step;
+  the reference's weights-only .h5 saves lost optimizer state,
+  SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pldepth_tpu.core.config import ExperimentConfig, sampler_name_for_type
+from pldepth_tpu.core.mesh import make_mesh
+from pldepth_tpu.core.rng import fold_in_str
+from pldepth_tpu.data.preprocess import normalize_images, random_flip_batch
+from pldepth_tpu.models import get_pl_depth_net, partition_params
+from pldepth_tpu.ops import pl_ranking_loss
+from pldepth_tpu.sampling import get_sampler, sample_rankings_batch
+from pldepth_tpu.train.schedules import build_schedule
+
+log = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng_root: jax.Array
+
+
+@struct.dataclass
+class StepMetrics:
+    loss: jax.Array
+    lr: jax.Array
+    finite: jax.Array  # bool: loss and grads all finite (TerminateOnNaN)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        steps_per_epoch: int,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.steps_per_epoch = max(1, steps_per_epoch)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        self.model = get_pl_depth_net(cfg.model_name, cfg.compute_dtype)
+        self.sampler_name = sampler_name_for_type(cfg.sampling_type)
+        get_sampler(self.sampler_name)
+        self.schedule = build_schedule(cfg, self.steps_per_epoch)
+        self._tx: Optional[optax.GradientTransformation] = None
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+    def make_optimizer(self, params) -> optax.GradientTransformation:
+        cfg = self.cfg
+        adam = optax.amsgrad(
+            learning_rate=self.schedule,
+            b1=cfg.adam_b1,
+            b2=cfg.adam_b2,
+            eps=cfg.adam_eps,
+        )
+        if cfg.grad_accum > 1:
+            adam = optax.MultiSteps(adam, every_k_schedule=cfg.grad_accum)
+        labels = partition_params(params, cfg.freeze_encoder)
+        return optax.multi_transform(
+            {"trainable": adam, "frozen": optax.set_to_zero()}, labels
+        )
+
+    def _ensure_tx(self) -> optax.GradientTransformation:
+        if self._tx is None:
+            # labels only need the params *structure*; eval_shape avoids a
+            # real init when train_step is built before init_state
+            shapes = jax.eval_shape(
+                lambda: self.model.init_variables(
+                    jax.random.key(0), self.cfg.input_shape
+                )
+            )
+            self._tx = self.make_optimizer(shapes["params"])
+        return self._tx
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.key(self.cfg.seed)
+        variables = self.model.init_variables(
+            fold_in_str(rng, "init"), self.cfg.input_shape
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        if self.cfg.pretrained_path:
+            from pldepth_tpu.models import pretrained
+
+            params, batch_stats = pretrained.load_backbone(
+                self.cfg.pretrained_path, params, batch_stats
+            )
+        self._ensure_tx()
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self._tx.init(params),
+            rng_root=fold_in_str(rng, "train"),
+        )
+        return self.replicate(state)
+
+    def replicate(self, tree):
+        sharding = NamedSharding(self.mesh, P())
+        return jax.device_put(tree, sharding)
+
+    def shard_batch(self, batch: Dict[str, np.ndarray]):
+        def put(x):
+            spec = P(self.mesh.axis_names[0], *([None] * (np.ndim(x) - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return {k: put(v) for k, v in batch.items()}
+
+    # ------------------------------------------------------------------
+    # steps
+    # ------------------------------------------------------------------
+    def _loss_from_pred(self, pred, rankings):
+        return pl_ranking_loss(pred, rankings, impl=self.cfg.listmle_impl)
+
+    def _build_train_step(self) -> Callable:
+        cfg = self.cfg
+        model = self.model
+        tx = self._ensure_tx()
+
+        def train_step(state: TrainState, batch) -> Tuple[TrainState, StepMetrics]:
+            images = batch["image"].astype(jnp.float32)
+            gts = batch["gt"]
+            masks = batch["mask"]
+
+            key = jax.random.fold_in(state.rng_root, state.step)
+            if cfg.augmentation:
+                images, gts, masks = random_flip_batch(
+                    jax.random.fold_in(key, 0), images, gts, masks
+                )
+            rankings = sample_rankings_batch(
+                jax.random.fold_in(key, 1),
+                gts,
+                masks,
+                sampler_name=self.sampler_name,
+                rankings_per_image=cfg.rankings_per_image,
+                ranking_size=cfg.ranking_size,
+                threshold=cfg.equality_threshold,
+                oversample_factor=float(cfg.oversample_factor)
+                if self.sampler_name != "purely_masked"
+                else 1.0,
+            )
+            x = normalize_images(images, model.preprocess)
+
+            def loss_fn(params):
+                pred, updates = model.module.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x,
+                    True,
+                    rngs={"droppath": jax.random.fold_in(key, 2)},
+                    mutable=["batch_stats"],
+                )
+                loss = self._loss_from_pred(pred, rankings)
+                return loss, updates["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            finite = jnp.isfinite(loss) & jnp.all(
+                jnp.asarray(
+                    [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+                )
+            )
+            # Keep the state unchanged on a non-finite step (TerminateOnNaN
+            # semantics without host round-trip; the host decides to stop).
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old),
+                TrainState(
+                    step=state.step + 1,
+                    params=new_params,
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                    rng_root=state.rng_root,
+                ),
+                state.replace(step=state.step + 1),
+            )
+            metrics = StepMetrics(
+                loss=loss, lr=self.schedule(state.step), finite=finite
+            )
+            return new_state, metrics
+
+        batch_sharding = {
+            "image": NamedSharding(self.mesh, P(self.mesh.axis_names[0], None, None, None)),
+            "gt": NamedSharding(self.mesh, P(self.mesh.axis_names[0], None, None)),
+            "mask": NamedSharding(self.mesh, P(self.mesh.axis_names[0], None, None)),
+        }
+        repl = NamedSharding(self.mesh, P())
+        return jax.jit(
+            train_step,
+            in_shardings=(repl, batch_sharding),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    def _build_eval_step(self) -> Callable:
+        model = self.model
+
+        def eval_step(state: TrainState, batch) -> jax.Array:
+            x = normalize_images(batch["image"].astype(jnp.float32), model.preprocess)
+            pred = model.module.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x,
+                False,
+            )
+            return self._loss_from_pred(pred, batch["rankings"])
+
+        repl = NamedSharding(self.mesh, P())
+        d = self.mesh.axis_names[0]
+        batch_sharding = {
+            "image": NamedSharding(self.mesh, P(d, None, None, None)),
+            "rankings": NamedSharding(self.mesh, P(d, None, None, None)),
+        }
+        return jax.jit(eval_step, in_shardings=(repl, batch_sharding), out_shardings=repl)
+
+    @property
+    def train_step(self):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        return self._train_step
+
+    @property
+    def eval_step(self):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        return self._eval_step
+
+    def predict(self, state: TrainState, images: jax.Array) -> jax.Array:
+        """Batched inference (replaces per-image model.predict loops of the
+        reference eval/active paths, e.g. active_learning_method.py:101)."""
+        x = normalize_images(jnp.asarray(images, jnp.float32), self.model.preprocess)
+        pred = self.model.module.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, x, False
+        )
+        return pred[..., 0] if pred.ndim == 4 else pred
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        train_iter: Iterator[Dict[str, np.ndarray]],
+        epochs: Optional[int] = None,
+        val_iter_factory: Optional[Callable[[], Iterator[Dict[str, np.ndarray]]]] = None,
+        callbacks=(),
+    ) -> Tuple[TrainState, Dict[str, list]]:
+        epochs = epochs if epochs is not None else self.cfg.epochs
+        history: Dict[str, list] = {"loss": [], "val_loss": [], "lr": [], "ips": []}
+        for cb in callbacks:
+            cb.on_train_begin(self)
+        for epoch in range(epochs):
+            t0 = time.time()
+            losses = []
+            last_lr = float("nan")
+            for _ in range(self.steps_per_epoch):
+                batch = self.shard_batch(next(train_iter))
+                state, metrics = self.train_step(state, batch)
+                losses.append(metrics.loss)
+                last_lr = metrics.lr
+            # host sync once per epoch
+            losses = [float(x) for x in jax.device_get(losses)]
+            finite = all(np.isfinite(losses))
+            dt = time.time() - t0
+            ips = self.steps_per_epoch * self.cfg.batch_size / dt
+            epoch_loss = float(np.mean(losses))
+            history["loss"].append(epoch_loss)
+            history["lr"].append(float(last_lr))
+            history["ips"].append(ips)
+
+            val_loss = None
+            if val_iter_factory is not None:
+                vlosses = [
+                    float(self.eval_step(state, self.shard_batch(vb)))
+                    for vb in val_iter_factory()
+                ]
+                val_loss = float(np.mean(vlosses)) if vlosses else float("nan")
+                history["val_loss"].append(val_loss)
+
+            log.info(
+                "epoch %d loss=%.4f val=%s ips=%.1f lr=%.5f",
+                epoch, epoch_loss, f"{val_loss:.4f}" if val_loss is not None else "-",
+                ips, history["lr"][-1],
+            )
+            for cb in callbacks:
+                cb.on_epoch_end(self, state, epoch, history)
+            if not finite:
+                log.error("non-finite loss at epoch %d — terminating (NaN guard)", epoch)
+                break
+        for cb in callbacks:
+            cb.on_train_end(self, state, history)
+        return state, history
