@@ -1,0 +1,318 @@
+"""Command-line interface.
+
+Replaces the reference's per-script Click commands with one group while
+preserving the canonical flag surface of pldepth/PLDepth.py:28-46 (flag
+names, defaults, sampling_type codes). Commands:
+
+  train   — the main experiment (PLDepth.py perform_pldepth_experiment):
+            train on HR-WSI (or synthetic), SGDR schedule, Adam(amsgrad),
+            post-train ordinal-error + NDCG@200 eval, weight export.
+  eval    — test_data_eval.py equivalent: load weights, full metric report.
+  zeroshot— cross-dataset ordinal suite (Ibims/DIODE/Sintel/TUM).
+  active  — active_PLDepth.py equivalent: optional pretrain/load + N
+            edge-disagreement active-learning rounds.
+  chi2    — chi2compare.py diagnostic: chi^2 informativeness of samplers.
+  sweep   — hyperparameter search driver (random/grid; wandb if present).
+
+Run as ``python -m pldepth_tpu.cli <command> ...``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import click
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def _reference_options(f):
+    """The canonical reference flag set (pldepth/PLDepth.py:28-46)."""
+    opts = [
+        click.option("--model_name", default="ff_effnet", help="Backbone model",
+                     type=click.Choice(
+                         ["ff_redweb", "ff_effnet", "ff_effnet_b1", "ff_effnet_b2",
+                          "ff_effnet_b3", "ff_effnet_b4", "ff_effnet_b5",
+                          "ff_effnet_b6", "ff_effnet_b7"],
+                         case_sensitive=False)),
+        click.option("--epochs", default=50),
+        click.option("--batch_size", default=4),
+        click.option("--seed", default=0),
+        click.option("--ranking_size", default=3,
+                     help="Number of elements per training ranking"),
+        click.option("--rankings_per_image", default=100,
+                     help="Number of rankings per image for training"),
+        click.option("--initial_lr", default=0.01, type=click.FLOAT),
+        click.option("--equality_threshold", default=0.03, type=click.FLOAT,
+                     help="tau parameter of the ratio equality test"),
+        click.option("--model_checkpoints", default=False, type=click.BOOL,
+                     help="Save the best model by val_loss"),
+        click.option("--load_model_path", default="",
+                     help="Warm-start weights (.npz from save_weights_npz)"),
+        click.option("--augmentation", default=True, type=click.BOOL),
+        click.option("--warmup", default=0, type=click.INT),
+        click.option("--sampling_type", default=1, type=click.INT,
+                     help="0=thresholded 1=info_score 2=masked 3=purely_masked"),
+        click.option("--lr_multi", default=0.25, type=click.FLOAT),
+        click.option("--ds_size", default=None, type=click.INT),
+        # --- extensions beyond the reference surface ---
+        click.option("--dataset", default="synthetic",
+                     help="HR-WSI | synthetic | IBIMS | DIODE | SINTEL | TUM"),
+        click.option("--data_root", default="", help="dataset root directory"),
+        click.option("--input_size", default=224, type=click.INT),
+        click.option("--schedule", default="sgdr",
+                     type=click.Choice(["sgdr", "step", "constant"])),
+        click.option("--freeze_encoder", default=False, type=click.BOOL),
+        click.option("--pretrained_path", default=""),
+        click.option("--compute_dtype", default="bfloat16"),
+        click.option("--output_dir", default="runs"),
+        click.option("--use_wandb", default=False, type=click.BOOL),
+    ]
+    for o in reversed(opts):
+        f = o(f)
+    return f
+
+
+def _make_config(kw) -> "ExperimentConfig":
+    from pldepth_tpu.core.config import ExperimentConfig
+
+    cfg_keys = {f.name for f in __import__("dataclasses").fields(ExperimentConfig)}
+    return ExperimentConfig(**{k: v for k, v in kw.items() if k in cfg_keys})
+
+
+def _load_data(cfg):
+    from pldepth_tpu.data import get_dataset, train_val_split
+
+    kwargs = dict(target_size=cfg.input_size)
+    if cfg.dataset.lower() in ("hr-wsi", "hr_wsi", "hrwsi"):
+        ds = get_dataset(
+            "HR-WSI", root=cfg.data_root, split="train", size=cfg.ds_size,
+            shuffle=True, seed=cfg.seed, **kwargs,
+        )
+    else:
+        ds = get_dataset(cfg.dataset, size=cfg.ds_size, seed=cfg.seed, **kwargs)
+    return train_val_split(ds, cfg.val_split_denom)
+
+
+@click.group()
+def cli():
+    logging.basicConfig(
+        level=os.environ.get("PLDEPTH_LOG", "INFO"),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+
+
+@cli.command()
+@_reference_options
+def train(**kw):
+    """Main training experiment (reference perform_pldepth_experiment)."""
+    import jax
+
+    from pldepth_tpu.data import BatchIterator, pregenerate_val_rankings, val_batches
+    from pldepth_tpu.eval.evaluator import Evaluator
+    from pldepth_tpu.obs.logging import MetricLogger
+    from pldepth_tpu.train import Trainer
+    from pldepth_tpu.train.checkpoint import (
+        CheckpointManager,
+        load_weights_npz,
+        save_weights_npz,
+    )
+
+    cfg = _make_config(kw)
+    run_name = time.strftime("%d%m%y-%H%M%S") + f"_s{cfg.sampling_type}"
+    logger = MetricLogger(cfg.output_dir, run_name, cfg.to_dict(), cfg.use_wandb)
+
+    train_ds, val_ds = _load_data(cfg)
+    steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+    trainer = Trainer(cfg, steps_per_epoch)
+    state = trainer.init_state()
+    if cfg.load_model_path:
+        state = load_weights_npz(cfg.load_model_path, state)
+
+    train_iter = BatchIterator(train_ds, cfg.batch_size, seed=cfg.seed)
+    vfac = None
+    if len(val_ds) >= cfg.batch_size:
+        # pre-generated fixed val rankings with the thresholded sampler
+        # (reference hourglass_provider.py:22,64-73)
+        val_rankings = pregenerate_val_rankings(
+            val_ds, sampler_name="thresholded",
+            rankings_per_image=cfg.val_rpi, ranking_size=cfg.ranking_size,
+            threshold=cfg.equality_threshold, seed=cfg.seed,
+        )
+        vfac = lambda: val_batches(val_ds, val_rankings, cfg.batch_size)
+
+    ckpt = None
+    if cfg.model_checkpoints:
+        ckpt = CheckpointManager(os.path.join(logger.dir, "ckpt"),
+                                 keep=cfg.keep_checkpoints)
+
+    class LogCB:
+        def on_train_begin(self, tr):
+            pass
+
+        def on_epoch_end(self, tr, st, epoch, history):
+            logger.log(
+                {"loss": history["loss"][-1],
+                 "val_loss": history["val_loss"][-1] if history["val_loss"] else None,
+                 "lr": history["lr"][-1], "images_per_sec": history["ips"][-1]},
+                step=epoch,
+            )
+            if ckpt is not None and history["val_loss"]:
+                ckpt.maybe_save_best(epoch, st, history["val_loss"][-1])
+
+        def on_train_end(self, tr, st, history):
+            pass
+
+    state, history = trainer.fit(
+        state, train_iter, val_iter_factory=vfac, callbacks=[LogCB()]
+    )
+    train_iter.close()
+
+    weights_path = os.path.join(logger.dir, "weights.npz")
+    save_weights_npz(weights_path, state)
+    click.echo(f"weights saved to {weights_path}")
+
+    # post-train eval (reference PLDepth.py:184-193: 250 val imgs)
+    evaluator = Evaluator(trainer, state)
+    limit = min(250, len(val_ds)) if len(val_ds) else None
+    if limit:
+        err = evaluator.calc_err(val_ds, limit=limit)
+        ndcg = evaluator.dcg_metric(val_ds, limit=limit)
+        logger.set_summary(test_error=err, ndcg_200=ndcg)
+        click.echo(json.dumps({"test_error": err, "ndcg_200": ndcg}))
+    logger.close()
+
+
+@cli.command("eval")
+@click.option("--model_name", default="ff_effnet")
+@click.option("--load_model_path", required=True)
+@click.option("--dataset", default="HR-WSI")
+@click.option("--data_root", default="")
+@click.option("--input_size", default=224, type=click.INT)
+@click.option("--ranking_size", default=5, type=click.INT)
+@click.option("--limit", default=None, type=click.INT)
+@click.option("--tau", default=0.03, type=click.FLOAT)
+def eval_cmd(model_name, load_model_path, dataset, data_root, input_size,
+             ranking_size, limit, tau):
+    """Test-set evaluation (reference test_data_eval.py:30-104)."""
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.data import get_dataset
+    from pldepth_tpu.eval.evaluator import Evaluator
+    from pldepth_tpu.train import Trainer
+    from pldepth_tpu.train.checkpoint import load_weights_npz
+
+    cfg = ExperimentConfig(
+        model_name=model_name, input_size=input_size, ranking_size=ranking_size,
+        dataset=dataset, data_root=data_root,
+    )
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = load_weights_npz(load_model_path, trainer.init_state())
+    if dataset.lower() == "synthetic":
+        ds = get_dataset("synthetic", target_size=input_size, size=limit or 64)
+    else:
+        ds = get_dataset(dataset, root=data_root, target_size=input_size)
+    report = Evaluator(trainer, state).full_report(ds, limit=limit, tau=tau)
+    click.echo(json.dumps(report, indent=2))
+
+
+@cli.command()
+@click.option("--model_name", default="ff_effnet")
+@click.option("--load_model_path", required=True)
+@click.option("--input_size", default=224, type=click.INT)
+@click.option("--limit", default=None, type=click.INT)
+@click.option("--ibims_root", default="")
+@click.option("--diode_root", default="")
+@click.option("--sintel_root", default="")
+@click.option("--tum_root", default="")
+def zeroshot(model_name, load_model_path, input_size, limit, **roots):
+    """Zero-shot cross-dataset ordinal suite (BASELINE.json config #4)."""
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.data import get_dataset
+    from pldepth_tpu.eval.evaluator import Evaluator
+    from pldepth_tpu.train import Trainer
+    from pldepth_tpu.train.checkpoint import load_weights_npz
+
+    cfg = ExperimentConfig(model_name=model_name, input_size=input_size)
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = load_weights_npz(load_model_path, trainer.init_state())
+    datasets = []
+    for name, key in [("IBIMS", "ibims_root"), ("DIODE", "diode_root"),
+                      ("SINTEL", "sintel_root"), ("TUM", "tum_root")]:
+        if roots.get(key):
+            datasets.append(
+                get_dataset(name, root=roots[key], target_size=input_size)
+            )
+    if not datasets:
+        raise click.UsageError("provide at least one dataset root")
+    out = Evaluator(trainer, state).zero_shot_suite(datasets, limit=limit)
+    click.echo(json.dumps(out, indent=2))
+
+
+@cli.command()
+@_reference_options
+@click.option("--rounds", default=6, type=click.INT)
+@click.option("--split_num", default=32, type=click.INT)
+@click.option("--sigma", default=1.8, type=click.FLOAT)
+@click.option("--pretrain_epochs", default=0, type=click.INT)
+def active(rounds, split_num, sigma, pretrain_epochs, **kw):
+    """Active learning (reference run_scripts/active_PLDepth.py:160-185)."""
+    from pldepth_tpu.active import run_active_loop
+    from pldepth_tpu.data import BatchIterator
+    from pldepth_tpu.obs.logging import MetricLogger
+    from pldepth_tpu.train import Trainer
+    from pldepth_tpu.train.checkpoint import load_weights_npz, save_weights_npz
+
+    cfg = _make_config(kw)
+    run_name = time.strftime("%d%m%y-%H%M%S") + "_active"
+    logger = MetricLogger(cfg.output_dir, run_name, cfg.to_dict(), cfg.use_wandb)
+    train_ds, val_ds = _load_data(cfg)
+    trainer = Trainer(cfg, max(1, len(train_ds) // cfg.batch_size))
+    state = trainer.init_state()
+    if cfg.load_model_path:
+        state = load_weights_npz(cfg.load_model_path, state)
+    elif pretrain_epochs:
+        it = BatchIterator(train_ds, cfg.batch_size, seed=cfg.seed)
+        state, _ = trainer.fit(state, it, epochs=pretrain_epochs)
+        it.close()
+    state, history = run_active_loop(
+        trainer, state, train_ds, rounds=rounds, split=split_num, sigma=sigma,
+        eval_ds=val_ds if len(val_ds) else None, seed=cfg.seed, logger=logger,
+    )
+    save_weights_npz(os.path.join(logger.dir, "weights.npz"), state)
+    click.echo(json.dumps(history))
+    logger.close()
+
+
+@cli.command()
+@_reference_options
+@click.option("--trials", default=5, type=click.INT)
+@click.option("--batches_per_trial", default=25, type=click.INT)
+def chi2(trials, batches_per_trial, **kw):
+    """Sampling chi^2 diagnostic (reference chi2compare.py:27-165)."""
+    from pldepth_tpu.diagnostics.chi2 import run_chi2_compare
+
+    cfg = _make_config(kw)
+    out = run_chi2_compare(cfg, trials=trials, batches_per_trial=batches_per_trial)
+    click.echo(json.dumps(out, indent=2))
+
+
+@cli.command()
+@_reference_options
+@click.option("--num_runs", default=8, type=click.INT)
+@click.option("--search", default="random", type=click.Choice(["random", "grid"]))
+@click.option("--target", default="test_error")
+def sweep(num_runs, search, target, **kw):
+    """Hyperparameter sweep (reference pldepth/hyperopt/sweep.py adapters)."""
+    from pldepth_tpu.sweep.sweep import run_sweep
+
+    cfg = _make_config(kw)
+    best = run_sweep(cfg, num_runs=num_runs, search=search, target=target)
+    click.echo(json.dumps(best, indent=2))
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,113 @@
+"""Batched evaluation over datasets, incl. the zero-shot cross-dataset suite.
+
+Replaces the reference's per-image predict loops (calc_err/dcg_metric/
+calc_depth_metrics, pldepth/active_learning/metrics.py:73-155, and
+test_data_eval.py:30-104) with device-batched inference; metric arithmetic
+stays reference-identical (eval/metrics.py).
+
+Zero-shot convention: HR-WSI gt is descending (closer = larger), while
+Ibims/Sintel/DIODE/TUM are ascending (reference pl_hourglass.py:22-31;
+invert_relation_sign in generic_ranking_provider.py) — the evaluator flips
+the predicted order for ascending datasets via ``ds.asc_depth_order``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from pldepth_tpu.data.datasets import DepthDataset
+from pldepth_tpu.eval import metrics as M
+
+log = logging.getLogger(__name__)
+
+
+class Evaluator:
+    def __init__(self, trainer, state, eval_batch_size: int = 8):
+        self.trainer = trainer
+        self.state = state
+        self.batch_size = eval_batch_size
+        self._predict = jax.jit(trainer.predict)
+
+    def _predict_dataset(self, ds: DepthDataset, limit: Optional[int] = None):
+        n = min(len(ds), limit) if limit else len(ds)
+        for start in range(0, n, self.batch_size):
+            idxs = range(start, min(start + self.batch_size, n))
+            items = [ds[i] for i in idxs]
+            images = np.stack([s["image"] for s in items])
+            pad = self.batch_size - images.shape[0]
+            if pad:
+                images = np.concatenate([images, np.zeros_like(images[:pad])])
+            preds = np.asarray(self._predict(self.state, images))
+            for j, s in enumerate(items):
+                yield preds[j], s["gt"]
+
+    # -- reference-equivalent aggregate metrics ---------------------------
+    def calc_err(
+        self, ds: DepthDataset, limit: Optional[int] = None, tau: float = 0.0
+    ) -> float:
+        """Mean ordinal error (reference calc_err, metrics.py:73-80)."""
+        errs = [
+            M.ordinal_error(p, g, invert_pred_order=ds.asc_depth_order)
+            if tau == 0.0
+            else M.whdr(p, g, tau=tau, invert_pred_order=ds.asc_depth_order)
+            for p, g in self._predict_dataset(ds, limit)
+        ]
+        return float(np.mean(errs))
+
+    def dcg_metric(
+        self, ds: DepthDataset, list_size: int = 200, limit: Optional[int] = None
+    ) -> float:
+        vals = [
+            M.ndcg_at_k(p, g, list_size=list_size)
+            for p, g in self._predict_dataset(ds, limit)
+        ]
+        return float(np.mean(vals))
+
+    def calc_depth_metrics(self, ds: DepthDataset, limit: Optional[int] = None):
+        pairs = [M.depth_edge_metric(p, g) for p, g in self._predict_dataset(ds, limit)]
+        arr = np.asarray(pairs, np.float64)
+        arr = arr[np.all(np.isfinite(arr), axis=1)]
+        return float(arr[:, 0].mean()), float(arr[:, 1].mean())
+
+    def full_report(
+        self, ds: DepthDataset, limit: Optional[int] = None, tau: float = 0.03
+    ) -> Dict[str, float]:
+        """test_data_eval.py equivalent: ordinal error, WHDR(tau), NDCG@200,
+        boundary + completeness."""
+        preds = list(self._predict_dataset(ds, limit))
+        inv = ds.asc_depth_order
+        report = {
+            "test_error": float(
+                np.mean([M.ordinal_error(p, g, invert_pred_order=inv) for p, g in preds])
+            ),
+            f"whdr_tau_{tau}": float(
+                np.mean([M.whdr(p, g, tau=tau, invert_pred_order=inv) for p, g in preds])
+            ),
+            "ndcg_200": float(np.mean([M.ndcg_at_k(p, g) for p, g in preds])),
+        }
+        try:
+            edges = np.asarray([M.depth_edge_metric(p, g) for p, g in preds])
+            edges = edges[np.all(np.isfinite(edges), axis=1)]
+            if len(edges):  # all-smooth maps can yield zero Canny edges
+                report["depth_boundary_metric"] = float(edges[:, 0].mean())
+                report["depth_completeness"] = float(edges[:, 1].mean())
+        except RuntimeError:  # pragma: no cover - cv2 missing
+            pass
+        return report
+
+    def zero_shot_suite(
+        self, datasets: Iterable[DepthDataset], limit: Optional[int] = None
+    ) -> Dict[str, Dict[str, float]]:
+        """Cross-dataset ordinal eval (BASELINE.json config #4)."""
+        out = {}
+        for ds in datasets:
+            out[ds.name] = {
+                "ordinal_error": self.calc_err(ds, limit=limit),
+                "whdr_0.03": self.calc_err(ds, limit=limit, tau=0.03),
+            }
+            log.info("zero-shot %s: %s", ds.name, out[ds.name])
+        return out

@@ -70,7 +70,10 @@ class PLDepthModel:
     def init_variables(self, rng: jax.Array, input_shape, train: bool = False):
         dummy = jnp.zeros((1, *input_shape), jnp.float32)
         rngs = {"params": rng, "droppath": jax.random.fold_in(rng, 1)}
-        return self.module.init(rngs, dummy, train)
+        # jitted init: eager flax init dispatches hundreds of tiny ops, which
+        # is pathological over a remote-TPU tunnel (~300s observed for B0)
+        init_fn = jax.jit(self.module.init, static_argnums=(2,))
+        return init_fn(rngs, dummy, train)
 
 
 MODEL_REGISTRY: Dict[str, Callable[..., PLDepthModel]] = {

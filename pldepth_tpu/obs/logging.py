@@ -1,0 +1,87 @@
+"""Run logging: JSONL + CSV always-on, wandb when available and requested.
+
+The reference juggled three overlapping systems — wandb (primary,
+pldepth/PLDepth.py:60-71,190-209), mlflow (mostly dormant,
+util/tracking_utils.py:8-18) and TensorBoard/CSVLogger
+(PLDepth_info_score.py:99-100). Here one MetricLogger always writes local
+JSONL (machine-readable) + CSV (spreadsheet-friendly) and *optionally*
+forwards to wandb when the package exists and the run asks for it (this
+image has no wandb; everything degrades gracefully). No API keys in code —
+the reference hardcoded one (env.py:62), explicitly not replicated.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+log = logging.getLogger(__name__)
+
+
+class MetricLogger:
+    def __init__(
+        self,
+        output_dir: str,
+        run_name: str = "run",
+        config: Optional[Dict[str, Any]] = None,
+        use_wandb: bool = False,
+        wandb_project: str = "pldepth-tpu",
+    ):
+        self.dir = os.path.join(output_dir, run_name)
+        os.makedirs(self.dir, exist_ok=True)
+        self._jsonl = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+        self._csv_path = os.path.join(self.dir, "metrics.csv")
+        self._csv_fields: Optional[list] = None
+        self._csv_file = None
+        self._wandb = None
+        self.summary: Dict[str, Any] = {}
+        if config:
+            with open(os.path.join(self.dir, "config.json"), "w") as f:
+                json.dump(config, f, indent=2, default=str)
+        if use_wandb:
+            try:
+                import wandb  # type: ignore
+
+                self._wandb = wandb.init(
+                    project=wandb_project, name=run_name, config=config or {}
+                )
+            except Exception as e:  # pragma: no cover
+                log.warning("wandb requested but unavailable (%s); local-only", e)
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
+        rec = {"_time": time.time(), **({"step": step} if step is not None else {}),
+               **metrics}
+        self._jsonl.write(json.dumps(rec, default=float) + "\n")
+        self._jsonl.flush()
+        if self._csv_fields is None:
+            self._csv_fields = list(rec.keys())
+            self._csv_file = open(self._csv_path, "a", newline="")
+            self._csv = csv.DictWriter(
+                self._csv_file, fieldnames=self._csv_fields, extrasaction="ignore"
+            )
+            if os.path.getsize(self._csv_path) == 0:
+                self._csv.writeheader()
+        self._csv.writerow({k: rec.get(k) for k in self._csv_fields})
+        self._csv_file.flush()
+        if self._wandb is not None:  # pragma: no cover
+            self._wandb.log(metrics, step=step)
+
+    def set_summary(self, **kwargs):
+        """wandb.run.summary equivalent (PLDepth.py:190-193)."""
+        self.summary.update(kwargs)
+        with open(os.path.join(self.dir, "summary.json"), "w") as f:
+            json.dump(self.summary, f, indent=2, default=float)
+        if self._wandb is not None:  # pragma: no cover
+            for k, v in kwargs.items():
+                self._wandb.summary[k] = v
+
+    def close(self):
+        self._jsonl.close()
+        if self._csv_file:
+            self._csv_file.close()
+        if self._wandb is not None:  # pragma: no cover
+            self._wandb.finish()

@@ -1,0 +1,122 @@
+"""Sweep driver around the single Trainer.
+
+The reference had ~10 wandb sweep scripts + hyperopt-TPE harnesses, each a
+copy of the trainer (pldepth/hyperopt/*, SURVEY.md §2). Here one driver
+samples a search space, runs short experiments through the same Trainer and
+reports the best config by the target metric. With wandb installed and
+``use_wandb`` set, each run logs there too (reference workflow); TPE-style
+sequential halving is approximated by random search + pruning — exotic
+optimizers are out of scope for the framework core.
+
+Resumability: every finished run is appended to sweep_state.jsonl so an
+interrupted sweep continues where it stopped (reference
+hyperopt/restart_sweep.py and pickled Trials served this role).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from pldepth_tpu.core.config import ExperimentConfig
+from pldepth_tpu.sweep.search_spaces import SEARCH_SPACES
+
+log = logging.getLogger(__name__)
+
+
+def _sample(space: Dict[str, Any], rng: np.random.Generator) -> Dict[str, Any]:
+    out = {}
+    for k, spec in space.items():
+        if "values" in spec:
+            out[k] = spec["values"][int(rng.integers(len(spec["values"])))]
+        elif spec.get("log"):
+            out[k] = float(np.exp(rng.uniform(np.log(spec["min"]), np.log(spec["max"]))))
+        else:
+            out[k] = float(rng.uniform(spec["min"], spec["max"]))
+    return out
+
+
+def _grid(space: Dict[str, Any]):
+    keys, vals = [], []
+    for k, spec in space.items():
+        if "values" not in spec:
+            raise ValueError(f"grid search requires discrete values for {k}")
+        keys.append(k)
+        vals.append(spec["values"])
+    for combo in itertools.product(*vals):
+        yield dict(zip(keys, combo))
+
+
+def run_single(cfg: ExperimentConfig, target: str) -> Dict[str, float]:
+    """One short training run -> {target: value, "loss": ...}."""
+    from pldepth_tpu.data import BatchIterator, get_dataset, train_val_split
+    from pldepth_tpu.eval.evaluator import Evaluator
+    from pldepth_tpu.train import Trainer
+
+    if cfg.dataset.lower() in ("hr-wsi", "hr_wsi", "hrwsi"):
+        ds = get_dataset("HR-WSI", root=cfg.data_root, split="train",
+                         size=cfg.ds_size, target_size=cfg.input_size)
+    else:
+        ds = get_dataset("synthetic", size=cfg.ds_size or 32,
+                         target_size=cfg.input_size, seed=cfg.seed)
+    train_ds, val_ds = train_val_split(ds, cfg.val_split_denom)
+    trainer = Trainer(cfg, max(1, len(train_ds) // cfg.batch_size))
+    state = trainer.init_state()
+    it = BatchIterator(train_ds, cfg.batch_size, seed=cfg.seed)
+    state, history = trainer.fit(state, it)
+    it.close()
+    result = {"loss": history["loss"][-1]}
+    if len(val_ds):
+        ev = Evaluator(trainer, state)
+        result["test_error"] = ev.calc_err(val_ds, limit=min(50, len(val_ds)))
+    return result
+
+
+def run_sweep(
+    base_cfg: ExperimentConfig,
+    num_runs: int = 8,
+    search: str = "random",
+    target: str = "test_error",
+    space_name: str = "base",
+    state_path: Optional[str] = None,
+) -> Dict[str, Any]:
+    space = SEARCH_SPACES[space_name]
+    rng = np.random.default_rng(base_cfg.seed)
+    state_path = state_path or os.path.join(base_cfg.output_dir, "sweep_state.jsonl")
+    os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+
+    done = []
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            done = [json.loads(line) for line in f if line.strip()]
+        log.info("resuming sweep: %d runs already recorded", len(done))
+
+    candidates = (
+        list(itertools.islice(_grid(space), num_runs))
+        if search == "grid"
+        else [_sample(space, rng) for _ in range(num_runs)]
+    )
+
+    results = list(done)
+    with open(state_path, "a") as f:
+        for i, overrides in enumerate(candidates[len(done):], start=len(done)):
+            cfg = base_cfg.replace(**{k: v for k, v in overrides.items()})
+            log.info("sweep run %d/%d: %s", i + 1, num_runs, overrides)
+            try:
+                metrics = run_single(cfg, target)
+            except Exception as e:  # keep sweeping on individual failures
+                log.exception("sweep run failed: %s", e)
+                metrics = {target: float("inf"), "error": str(e)}
+            rec = {"overrides": overrides, "metrics": metrics}
+            results.append(rec)
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+
+    scored = [r for r in results if np.isfinite(r["metrics"].get(target, np.inf))]
+    best = min(scored, key=lambda r: r["metrics"][target]) if scored else None
+    return {"best": best, "num_runs": len(results)}

@@ -1,0 +1,82 @@
+"""Checkpoint / resume via Orbax.
+
+The reference checkpointed weights-only .h5 through Keras ModelCheckpoint
+(pldepth/util/tracking_utils.py:21-30) and ad-hoc ``model.save_weights``
+(PLDepth.py:180-181), losing optimizer state on resume (SURVEY.md §5). Here
+the full TrainState — params, BN statistics, optimizer state, step counter —
+round-trips, so a resumed run continues bit-compatibly; ``best`` tracking
+mirrors ModelCheckpoint(save_best_only, monitor=val_loss).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+log = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True, enable_async_checkpointing=False
+            ),
+        )
+        self.best_val = float("inf")
+
+    def save(self, step: int, state, metrics: Optional[dict] = None, force=False):
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(jax.device_get(state)),
+            metrics=metrics,
+            force=force,
+        )
+        self._mgr.wait_until_finished()
+
+    def maybe_save_best(self, step: int, state, val_loss: float):
+        """save_best_only semantics on val_loss (tracking_utils.py:27-30)."""
+        if val_loss < self.best_val:
+            self.best_val = val_loss
+            self.save(step, state, metrics={"val_loss": val_loss}, force=True)
+            return True
+        return False
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(jax.device_get(state_template))
+        )
+        return restored
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_weights_npz(path: str, state) -> None:
+    """Portable weights-only export (params + batch_stats), the analogue of
+    the reference's model.save_weights h5 (PLDepth.py:180)."""
+    from pldepth_tpu.models.pretrained import save_backbone
+
+    save_backbone(path, jax.device_get(state.params), jax.device_get(state.batch_stats))
+
+
+def load_weights_npz(path: str, state):
+    """Warm-start from a weights-only export (reference --load_model_path)."""
+    from pldepth_tpu.models.pretrained import load_backbone
+
+    params, batch_stats = load_backbone(path, state.params, state.batch_stats)
+    return state.replace(params=params, batch_stats=batch_stats)

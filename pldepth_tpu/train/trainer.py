@@ -81,6 +81,7 @@ class Trainer:
         self.schedule = build_schedule(cfg, self.steps_per_epoch)
         self._tx: Optional[optax.GradientTransformation] = None
         self._train_step = None
+        self._train_step_fixed = None
         self._eval_step = None
 
     # ------------------------------------------------------------------
@@ -153,33 +154,40 @@ class Trainer:
     def _loss_from_pred(self, pred, rankings):
         return pl_ranking_loss(pred, rankings, impl=self.cfg.listmle_impl)
 
-    def _build_train_step(self) -> Callable:
+    def _build_train_step(self, fixed_rankings: bool = False) -> Callable:
+        """The one jitted step. ``fixed_rankings=True`` consumes precomputed
+        (image, rankings) batches — the active-learning path (reference:
+        model.fit on oracle-labeled lists, active_PLDepth.py rounds) — while
+        the default path samples rankings on device from (image, gt, mask)."""
         cfg = self.cfg
         model = self.model
         tx = self._ensure_tx()
 
         def train_step(state: TrainState, batch) -> Tuple[TrainState, StepMetrics]:
             images = batch["image"].astype(jnp.float32)
-            gts = batch["gt"]
-            masks = batch["mask"]
-
             key = jax.random.fold_in(state.rng_root, state.step)
-            if cfg.augmentation:
-                images, gts, masks = random_flip_batch(
-                    jax.random.fold_in(key, 0), images, gts, masks
+
+            if fixed_rankings:
+                rankings = batch["rankings"]
+            else:
+                gts = batch["gt"]
+                masks = batch["mask"]
+                if cfg.augmentation:
+                    images, gts, masks = random_flip_batch(
+                        jax.random.fold_in(key, 0), images, gts, masks
+                    )
+                rankings = sample_rankings_batch(
+                    jax.random.fold_in(key, 1),
+                    gts,
+                    masks,
+                    sampler_name=self.sampler_name,
+                    rankings_per_image=cfg.rankings_per_image,
+                    ranking_size=cfg.ranking_size,
+                    threshold=cfg.equality_threshold,
+                    oversample_factor=float(cfg.oversample_factor)
+                    if self.sampler_name != "purely_masked"
+                    else 1.0,
                 )
-            rankings = sample_rankings_batch(
-                jax.random.fold_in(key, 1),
-                gts,
-                masks,
-                sampler_name=self.sampler_name,
-                rankings_per_image=cfg.rankings_per_image,
-                ranking_size=cfg.ranking_size,
-                threshold=cfg.equality_threshold,
-                oversample_factor=float(cfg.oversample_factor)
-                if self.sampler_name != "purely_masked"
-                else 1.0,
-            )
             x = normalize_images(images, model.preprocess)
 
             def loss_fn(params):
@@ -222,11 +230,18 @@ class Trainer:
             )
             return new_state, metrics
 
-        batch_sharding = {
-            "image": NamedSharding(self.mesh, P(self.mesh.axis_names[0], None, None, None)),
-            "gt": NamedSharding(self.mesh, P(self.mesh.axis_names[0], None, None)),
-            "mask": NamedSharding(self.mesh, P(self.mesh.axis_names[0], None, None)),
-        }
+        d = self.mesh.axis_names[0]
+        if fixed_rankings:
+            batch_sharding = {
+                "image": NamedSharding(self.mesh, P(d, None, None, None)),
+                "rankings": NamedSharding(self.mesh, P(d, None, None, None)),
+            }
+        else:
+            batch_sharding = {
+                "image": NamedSharding(self.mesh, P(d, None, None, None)),
+                "gt": NamedSharding(self.mesh, P(d, None, None)),
+                "mask": NamedSharding(self.mesh, P(d, None, None)),
+            }
         repl = NamedSharding(self.mesh, P())
         return jax.jit(
             train_step,
@@ -262,6 +277,13 @@ class Trainer:
         return self._train_step
 
     @property
+    def train_step_fixed(self):
+        """Step consuming {"image", "rankings"} batches (active learning)."""
+        if self._train_step_fixed is None:
+            self._train_step_fixed = self._build_train_step(fixed_rankings=True)
+        return self._train_step_fixed
+
+    @property
     def eval_step(self):
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
@@ -295,12 +317,16 @@ class Trainer:
             t0 = time.time()
             losses = []
             last_lr = float("nan")
-            for _ in range(self.steps_per_epoch):
+            for step_i in range(self.steps_per_epoch):
                 batch = self.shard_batch(next(train_iter))
                 state, metrics = self.train_step(state, batch)
                 losses.append(metrics.loss)
                 last_lr = metrics.lr
-            # host sync once per epoch
+                # Bound in-flight steps: the remote-TPU transport has been
+                # observed to wedge with many queued executions + transfers;
+                # a 2-deep window still overlaps host feed with device work.
+                if len(losses) >= 2:
+                    losses[-2].block_until_ready()
             losses = [float(x) for x in jax.device_get(losses)]
             finite = all(np.isfinite(losses))
             dt = time.time() - t0
