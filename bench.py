@@ -81,14 +81,40 @@ def main() -> None:
     best = min(dispatch_time, steady)
     ips = scan_len * batch / best
 
-    # --- with host input pipeline ---
+    # --- with host input pipeline (python iterator) ---
     t0 = time.time()
     n_host = 5
-    for _ in range(n_host):
+    for i in range(n_host):
         state, m = trainer.train_step(state, trainer.shard_batch(next(it)))
+        if i % 2 == 1:
+            m.loss.block_until_ready()  # bounded in-flight (tunnel safety)
     jax.block_until_ready(m.loss)
     ips_host = n_host * batch / (time.time() - t0)
     it.close()
+
+    # --- with the native packed-data pipeline (C++ mmap + prefetch ring) ---
+    ips_native = None
+    try:
+        import tempfile
+
+        from pldepth_tpu.data.packed import NativePackedIterator, pack_dataset
+
+        pack_path = os.path.join(tempfile.gettempdir(), f"bench_{image_size}.pldpack")
+        if not os.path.exists(pack_path):
+            pack_dataset(ds, pack_path)
+        nit = NativePackedIterator(pack_path, batch, seed=0)
+        state, m = trainer.train_step(state, trainer.shard_batch(next(nit)))
+        jax.block_until_ready(m.loss)
+        t0 = time.time()
+        for i in range(scan_len):
+            state, m = trainer.train_step(state, trainer.shard_batch(next(nit)))
+            if i % 2 == 1:
+                m.loss.block_until_ready()
+        jax.block_until_ready(m.loss)
+        ips_native = scan_len * batch / (time.time() - t0)
+        nit.close()
+    except Exception as e:  # keep the bench robust
+        print(f"# native pipeline bench skipped: {e}", file=sys.stderr)
 
     baseline = None
     base_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
@@ -109,6 +135,7 @@ def main() -> None:
         },
         "images_per_sec_device": ips,
         "images_per_sec_with_host_pipeline": ips_host,
+        "images_per_sec_with_native_pipeline": ips_native,
         "loss_sample": float(jax.device_get(m.loss)),
         "baseline_tf2_cpu_images_per_sec": baseline,
         "devices": [str(d) for d in jax.devices()],

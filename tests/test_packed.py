@@ -1,0 +1,58 @@
+"""Packed format + native reader: roundtrip fidelity and iterator behavior."""
+
+import numpy as np
+import pytest
+
+from pldepth_tpu.data import SyntheticDepthDataset
+from pldepth_tpu.data.packed import (
+    NativePackedIterator,
+    PackedDataset,
+    build_native,
+    pack_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def packed(tmp_path_factory):
+    ds = SyntheticDepthDataset(n=10, image_size=32, seed=7)
+    path = str(tmp_path_factory.mktemp("pack") / "ds.pldpack")
+    pack_dataset(ds, path)
+    return ds, path
+
+
+def test_roundtrip_via_memmap(packed):
+    ds, path = packed
+    pd = PackedDataset(path)
+    assert len(pd) == len(ds)
+    for i in [0, 3, 9]:
+        a, b = ds[i], pd[i]
+        np.testing.assert_allclose(a["image"], b["image"], atol=1 / 255 + 1e-6)
+        np.testing.assert_allclose(a["gt"], b["gt"], rtol=1e-6)
+        np.testing.assert_array_equal((a["mask"] > 0), (b["mask"] > 0))
+
+
+def test_native_build():
+    assert build_native() is not None, "g++ build of libpackio.so failed"
+
+
+def test_native_iterator_batches_match_memmap(packed):
+    ds, path = packed
+    it = NativePackedIterator(path, batch_size=4, seed=0, shuffle=False, loop=False)
+    pd = PackedDataset(path)
+    batches = list(it)
+    it.close()
+    assert len(batches) == 2  # drop remainder: 10 // 4
+    flat = [b for batch in batches for b in batch["gt"]]
+    for i, gt in enumerate(flat):
+        np.testing.assert_allclose(gt, pd[i]["gt"], rtol=1e-6)
+    assert batches[0]["image"].shape == (4, 32, 32, 3)
+    assert batches[0]["image"].dtype == np.float32
+    assert batches[0]["image"].max() <= 1.0
+
+
+def test_native_iterator_shuffles_and_loops(packed):
+    _, path = packed
+    it = NativePackedIterator(path, batch_size=4, seed=1, shuffle=True, loop=True)
+    seen = [next(it)["gt"][0, 0, 0] for _ in range(6)]  # > one epoch
+    it.close()
+    assert len(set(np.round(seen, 6))) > 1
