@@ -41,22 +41,22 @@ class Bottleneck(nn.Module):
         shortcut = x
         if self.projection:
             shortcut = nn.Conv(
-                4 * self.filters, (1, 1), strides=self.stride, use_bias=False,
+                4 * self.filters, (1, 1), strides=self.stride, use_bias=True,
                 dtype=self.dtype, name="proj_conv",
             )(x)
             shortcut = _bn("proj_bn", train)(shortcut).astype(self.dtype)
         y = nn.Conv(
-            self.filters, (1, 1), strides=self.stride, use_bias=False,
+            self.filters, (1, 1), strides=self.stride, use_bias=True,
             dtype=self.dtype, name="conv1",
         )(x)
         y = nn.relu(_bn("bn1", train)(y).astype(self.dtype))
         y = nn.Conv(
-            self.filters, (3, 3), padding="SAME", use_bias=False,
+            self.filters, (3, 3), padding="SAME", use_bias=True,
             dtype=self.dtype, name="conv2",
         )(y)
         y = nn.relu(_bn("bn2", train)(y).astype(self.dtype))
         y = nn.Conv(
-            4 * self.filters, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
+            4 * self.filters, (1, 1), use_bias=True, dtype=self.dtype, name="conv3"
         )(y)
         y = _bn("bn3", train)(y).astype(self.dtype)
         return nn.relu(y + shortcut)
@@ -75,7 +75,7 @@ class ResNet50Encoder(nn.Module):
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         x = nn.Conv(
-            64, (7, 7), strides=2, padding=[(3, 3), (3, 3)], use_bias=False,
+            64, (7, 7), strides=2, padding=[(3, 3), (3, 3)], use_bias=True,
             dtype=self.dtype, name="stem_conv",
         )(x)
         x = nn.relu(_bn("stem_bn", train)(x).astype(self.dtype))
