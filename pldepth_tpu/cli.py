@@ -71,6 +71,10 @@ def _reference_options(f):
         click.option("--compute_dtype", default="bfloat16"),
         click.option("--output_dir", default="runs"),
         click.option("--use_wandb", default=False, type=click.BOOL),
+        click.option("--config_json", default="",
+                     help="JSON file with config overrides (applied before "
+                          "CLI flags; reference ModelParameters"
+                          ".load_parameters_from_file, models_meta.py:51-65)"),
     ]
     for o in reversed(opts):
         f = o(f)
@@ -78,10 +82,26 @@ def _reference_options(f):
 
 
 def _make_config(kw) -> "ExperimentConfig":
+    import dataclasses
+
     from pldepth_tpu.core.config import ExperimentConfig
 
-    cfg_keys = {f.name for f in __import__("dataclasses").fields(ExperimentConfig)}
-    return ExperimentConfig(**{k: v for k, v in kw.items() if k in cfg_keys})
+    cfg_keys = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    values = {k: v for k, v in kw.items() if k in cfg_keys}
+    config_json = kw.get("config_json")
+    if config_json:
+        with open(config_json) as f:
+            file_vals = json.load(f)
+        unknown = set(file_vals) - cfg_keys
+        if unknown:
+            raise click.UsageError(f"unknown keys in {config_json}: {sorted(unknown)}")
+        # file provides base values; explicit CLI flags are applied on top by
+        # click defaults — file wins over defaults, flags win over file
+        defaults = ExperimentConfig()
+        for k, v in file_vals.items():
+            if values.get(k) == getattr(defaults, k):
+                values[k] = v
+    return ExperimentConfig(**values)
 
 
 def _load_data(cfg):
@@ -289,6 +309,44 @@ def active(rounds, split_num, sigma, pretrain_epochs, **kw):
 
 @cli.command()
 @_reference_options
+@click.option("--out_dir", required=True)
+@click.option("--image_format", default="jpg", type=click.Choice(["jpg", "npz"]))
+def dump(out_dir, image_format, **kw):
+    """Offline (image, rankings) dump (reference active_learning/offline_data.py)."""
+    from pldepth_tpu.core.config import sampler_name_for_type
+    from pldepth_tpu.data.offline import dump_offline_data
+
+    cfg = _make_config(kw)
+    train_ds, _ = _load_data(cfg)
+    path = dump_offline_data(
+        train_ds, out_dir,
+        sampler_name=sampler_name_for_type(cfg.sampling_type),
+        rankings_per_image=cfg.rankings_per_image,
+        ranking_size=cfg.ranking_size,
+        threshold=cfg.equality_threshold,
+        seed=cfg.seed,
+        image_format=image_format,
+    )
+    click.echo(path)
+
+
+@cli.command()
+@click.option("--state_path", required=True, help="sweep_state.jsonl")
+@click.option("--out_dir", default="sweep_plots")
+@click.option("--target", default="test_error")
+def analyze(state_path, out_dir, target):
+    """Sweep analysis: best trial + param-vs-metric plots
+    (reference bk-hyperopt/trials_visualize.py HyperoptAnalyser)."""
+    from pldepth_tpu.sweep.analyze import best_trial, load_trials, plot_param_vs_metric
+
+    trials = load_trials(state_path)
+    best = best_trial(trials, target)
+    plots = plot_param_vs_metric(state_path, out_dir, target)
+    click.echo(json.dumps({"best": best, "plots": plots}, indent=2))
+
+
+@cli.command()
+@_reference_options
 @click.option("--trials", default=5, type=click.INT)
 @click.option("--batches_per_trial", default=25, type=click.INT)
 def chi2(trials, batches_per_trial, **kw):
@@ -303,7 +361,8 @@ def chi2(trials, batches_per_trial, **kw):
 @cli.command()
 @_reference_options
 @click.option("--num_runs", default=8, type=click.INT)
-@click.option("--search", default="random", type=click.Choice(["random", "grid"]))
+@click.option("--search", default="random",
+              type=click.Choice(["random", "grid", "tpe"]))
 @click.option("--target", default="test_error")
 def sweep(num_runs, search, target, **kw):
     """Hyperparameter sweep (reference pldepth/hyperopt/sweep.py adapters)."""

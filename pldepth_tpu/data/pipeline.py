@@ -50,15 +50,24 @@ class BatchIterator:
         shuffle: bool = True,
         prefetch: int = 2,
         loop: bool = True,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
-        if len(ds) < batch_size:
+        """``shard_index``/``num_shards``: multi-host data sharding — each
+        host draws the same seeded epoch permutation and takes a disjoint
+        stride of it, so per-host batches form one coherent global batch
+        (process i feeds its addressable devices under jax.distributed)."""
+        if len(ds) < batch_size * num_shards:
             raise ValueError(
-                f"dataset of {len(ds)} samples cannot fill a batch of {batch_size}"
+                f"dataset of {len(ds)} samples cannot fill batch "
+                f"{batch_size} x {num_shards} hosts"
             )
         self.ds = ds
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.loop = loop
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         self.rng = np.random.default_rng(seed)
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         self._thread = threading.Thread(target=self._producer, daemon=True)
@@ -70,6 +79,8 @@ class BatchIterator:
             idx = np.arange(len(self.ds))
             if self.shuffle:
                 self.rng.shuffle(idx)
+            if self.num_shards > 1:
+                idx = idx[self.shard_index :: self.num_shards]
             n_batches = len(idx) // self.batch_size
             for b in range(n_batches):
                 yield idx[b * self.batch_size : (b + 1) * self.batch_size]

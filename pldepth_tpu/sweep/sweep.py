@@ -41,6 +41,70 @@ def _sample(space: Dict[str, Any], rng: np.random.Generator) -> Dict[str, Any]:
     return out
 
 
+def _sample_tpe(
+    space: Dict[str, Any],
+    history: list,
+    target: str,
+    rng: np.random.Generator,
+    gamma: float = 0.25,
+    n_candidates: int = 24,
+) -> Dict[str, Any]:
+    """Tree-structured Parzen Estimator step (the reference used hyperopt's
+    TPE, pldepth/hyperopt/run.py:15-27). Below 4 observations falls back to
+    random; otherwise draws candidates from a KDE over the good quantile and
+    keeps the one maximizing the good/bad density ratio."""
+    scored = [
+        (h["overrides"], h["metrics"][target])
+        for h in history
+        if np.isfinite(h["metrics"].get(target, np.inf))
+    ]
+    if len(scored) < 4:
+        return _sample(space, rng)
+    scored.sort(key=lambda t: t[1])
+    n_good = max(1, int(gamma * len(scored)))
+    good = [s[0] for s in scored[:n_good]]
+    bad = [s[0] for s in scored[n_good:]]
+
+    def log_kde(values, x, spec):
+        values = np.asarray(values, dtype=float)
+        if "values" in spec:
+            counts = np.sum(values == x) + 1.0
+            return np.log(counts / (len(values) + len(spec["values"])))
+        v = np.log(values) if spec.get("log") else values
+        xq = np.log(x) if spec.get("log") else x
+        bw = max(np.std(v), 1e-3 * (abs(np.mean(v)) + 1e-9))
+        return float(
+            np.log(np.mean(np.exp(-0.5 * ((xq - v) / bw) ** 2) / bw + 1e-12))
+        )
+
+    best_c, best_score = None, -np.inf
+    for _ in range(n_candidates):
+        cand = {}
+        for k, spec in space.items():
+            gv = [g[k] for g in good]
+            if "values" in spec:
+                # sample from the smoothed good histogram
+                opts = spec["values"]
+                w = np.array([gv.count(o) + 1.0 for o in opts])
+                cand[k] = opts[int(rng.choice(len(opts), p=w / w.sum()))]
+            else:
+                base = rng.choice(gv)
+                v = np.log(base) if spec.get("log") else base
+                sigma = max(np.std([np.log(x) if spec.get("log") else x for x in gv]),
+                            1e-2 * (abs(v) + 1e-9))
+                draw = rng.normal(v, sigma)
+                draw = np.exp(draw) if spec.get("log") else draw
+                cand[k] = float(np.clip(draw, spec["min"], spec["max"]))
+        score = sum(
+            log_kde([g[k] for g in good], cand[k], spec)
+            - log_kde([b[k] for b in bad], cand[k], spec)
+            for k, spec in space.items()
+        )
+        if score > best_score:
+            best_c, best_score = cand, score
+    return best_c
+
+
 def _grid(space: Dict[str, Any]):
     keys, vals = [], []
     for k, spec in space.items():
@@ -96,15 +160,23 @@ def run_sweep(
             done = [json.loads(line) for line in f if line.strip()]
         log.info("resuming sweep: %d runs already recorded", len(done))
 
-    candidates = (
-        list(itertools.islice(_grid(space), num_runs))
-        if search == "grid"
-        else [_sample(space, rng) for _ in range(num_runs)]
-    )
+    if search == "grid":
+        candidates = list(itertools.islice(_grid(space), num_runs))[len(done):]
+    elif search == "random":
+        candidates = [_sample(space, rng) for _ in range(num_runs - len(done))]
+    elif search == "tpe":
+        candidates = None  # sampled sequentially from the history below
+    else:
+        raise ValueError(f"unknown search strategy {search!r}")
 
     results = list(done)
     with open(state_path, "a") as f:
-        for i, overrides in enumerate(candidates[len(done):], start=len(done)):
+        for i in range(len(done), num_runs):
+            overrides = (
+                _sample_tpe(space, results, target, rng)
+                if search == "tpe"
+                else candidates[i - len(done)]
+            )
             cfg = base_cfg.replace(**{k: v for k, v in overrides.items()})
             log.info("sweep run %d/%d: %s", i + 1, num_runs, overrides)
             try:
