@@ -73,7 +73,8 @@ void decode_record(const Reader* r, uint32_t idx, float* img_out,
 }
 
 struct Batch {
-  std::vector<float> img, gt, mask;
+  std::vector<float> img, gt, mask;   // f32 mode
+  std::vector<uint8_t> img8, mask8;   // u8 wire mode (gt stays f32)
 };
 
 struct Prefetcher {
@@ -83,6 +84,8 @@ struct Prefetcher {
   bool loop = true;
   uint64_t seed = 0;
   int workers = 1;
+
+  bool u8 = false;  // emit u8 images/masks (4x less host->device traffic)
 
   std::thread thread;
   std::mutex mu;
@@ -104,6 +107,28 @@ struct Prefetcher {
     }
   }
 };
+
+void fill_batch_u8(Reader* r, const uint32_t* idx, uint32_t batch, int workers,
+                   uint8_t* img, float* gt, uint8_t* mask) {
+  const size_t hw = (size_t)r->h * r->w;
+  auto work = [&](uint32_t start, uint32_t stride) {
+    for (uint32_t b = start; b < batch; b += stride) {
+      const uint8_t* rec = r->records + (size_t)idx[b] * r->rec_size;
+      std::memcpy(img + (size_t)b * hw * 3, rec, hw * 3);
+      std::memcpy(gt + (size_t)b * hw, rec + hw * 3, hw * sizeof(float));
+      std::memcpy(mask + (size_t)b * hw, rec + hw * 3 + hw * 4, hw);
+    }
+  };
+  int t = (workers < (int)batch ? workers : (int)batch);
+  if (t <= 1) {
+    work(0, 1);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int i = 1; i < t; ++i) threads.emplace_back(work, i, t);
+  work(0, t);
+  for (auto& th : threads) th.join();
+}
 
 void fill_batch(Reader* r, const uint32_t* idx, uint32_t batch, int workers,
                 float* img, float* gt, float* mask) {
@@ -138,11 +163,20 @@ void prefetch_loop(Prefetcher* p) {
     uint32_t n_batches = r->n / p->batch;
     for (uint32_t bi = 0; bi < n_batches && !p->stop.load(); ++bi) {
       Batch* out = new Batch;
-      out->img.resize((size_t)p->batch * hw * 3);
       out->gt.resize((size_t)p->batch * hw);
-      out->mask.resize((size_t)p->batch * hw);
-      fill_batch(r, order.data() + (size_t)bi * p->batch, p->batch, p->workers,
-                 out->img.data(), out->gt.data(), out->mask.data());
+      if (p->u8) {
+        out->img8.resize((size_t)p->batch * hw * 3);
+        out->mask8.resize((size_t)p->batch * hw);
+        fill_batch_u8(r, order.data() + (size_t)bi * p->batch, p->batch,
+                      p->workers, out->img8.data(), out->gt.data(),
+                      out->mask8.data());
+      } else {
+        out->img.resize((size_t)p->batch * hw * 3);
+        out->mask.resize((size_t)p->batch * hw);
+        fill_batch(r, order.data() + (size_t)bi * p->batch, p->batch,
+                   p->workers, out->img.data(), out->gt.data(),
+                   out->mask.data());
+      }
       std::unique_lock<std::mutex> lk(p->mu);
       p->cv_space.wait(lk, [&] { return p->ready.size() < p->capacity || p->stop.load(); });
       if (p->stop.load()) {
@@ -232,7 +266,7 @@ void packio_get_batch(void* handle, const uint32_t* indices, uint32_t batch,
 
 void* packio_prefetch_start(void* handle, uint32_t batch, uint64_t seed,
                             int shuffle, int loop, int workers,
-                            uint32_t ring_capacity) {
+                            uint32_t ring_capacity, int u8_mode) {
   Prefetcher* p = new Prefetcher;
   p->reader = static_cast<Reader*>(handle);
   p->batch = batch;
@@ -241,26 +275,41 @@ void* packio_prefetch_start(void* handle, uint32_t batch, uint64_t seed,
   p->loop = loop != 0;
   p->workers = workers;
   p->capacity = ring_capacity ? ring_capacity : 2;
+  p->u8 = u8_mode != 0;
   p->thread = std::thread(prefetch_loop, p);
   return p;
+}
+
+static Batch* pop_batch(Prefetcher* p) {
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_ready.wait(lk, [&] { return !p->ready.empty() || p->finished || p->stop.load(); });
+  if (p->ready.empty()) return nullptr;
+  Batch* b = p->ready.front();
+  p->ready.pop();
+  p->cv_space.notify_one();
+  return b;
 }
 
 // Returns 1 and fills buffers; 0 at end of (non-looping) stream.
 int packio_prefetch_next(void* pf, float* img_out, float* gt_out,
                          float* mask_out) {
-  Prefetcher* p = static_cast<Prefetcher*>(pf);
-  Batch* b = nullptr;
-  {
-    std::unique_lock<std::mutex> lk(p->mu);
-    p->cv_ready.wait(lk, [&] { return !p->ready.empty() || p->finished || p->stop.load(); });
-    if (p->ready.empty()) return 0;
-    b = p->ready.front();
-    p->ready.pop();
-    p->cv_space.notify_one();
-  }
+  Batch* b = pop_batch(static_cast<Prefetcher*>(pf));
+  if (!b) return 0;
   std::memcpy(img_out, b->img.data(), b->img.size() * sizeof(float));
   std::memcpy(gt_out, b->gt.data(), b->gt.size() * sizeof(float));
   std::memcpy(mask_out, b->mask.data(), b->mask.size() * sizeof(float));
+  delete b;
+  return 1;
+}
+
+// u8-wire variant: images/masks as raw u8, gt f32.
+int packio_prefetch_next_u8(void* pf, uint8_t* img_out, float* gt_out,
+                            uint8_t* mask_out) {
+  Batch* b = pop_batch(static_cast<Prefetcher*>(pf));
+  if (!b) return 0;
+  std::memcpy(img_out, b->img8.data(), b->img8.size());
+  std::memcpy(gt_out, b->gt.data(), b->gt.size() * sizeof(float));
+  std::memcpy(mask_out, b->mask8.data(), b->mask8.size());
   delete b;
   return 1;
 }

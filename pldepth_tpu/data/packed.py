@@ -82,7 +82,7 @@ def _load_lib():
     lib.packio_prefetch_start.restype = ctypes.c_void_p
     lib.packio_prefetch_start.argtypes = [
         ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint64,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint32, ctypes.c_int,
     ]
     lib.packio_prefetch_next.restype = ctypes.c_int
     lib.packio_prefetch_next.argtypes = [
@@ -90,6 +90,13 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.packio_prefetch_next_u8.restype = ctypes.c_int
+    lib.packio_prefetch_next_u8.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.packio_prefetch_stop.argtypes = [ctypes.c_void_p]
     _LIB = lib
@@ -161,9 +168,13 @@ class NativePackedIterator:
         loop: bool = True,
         workers: Optional[int] = None,
         ring: int = 2,
+        uint8_wire: bool = True,
     ):
+        """``uint8_wire``: emit images/masks as uint8 (gt stays f32). 4x less
+        host->device transfer; the Trainer rescales on device."""
         if workers is None:
             workers = max(1, (os.cpu_count() or 1) - 1)
+        self.uint8_wire = uint8_wire
         lib = _load_lib()
         if lib is None:
             raise RuntimeError("native packio unavailable; use PackedDataset")
@@ -182,7 +193,8 @@ class NativePackedIterator:
             raise ValueError(f"{self.n} records cannot fill batch {batch_size}")
         self.batch_size = batch_size
         self._pf = lib.packio_prefetch_start(
-            self._h_reader, batch_size, seed, int(shuffle), int(loop), workers, ring
+            self._h_reader, batch_size, seed, int(shuffle), int(loop), workers,
+            ring, int(uint8_wire),
         )
 
     def __iter__(self):
@@ -191,15 +203,25 @@ class NativePackedIterator:
     def __next__(self) -> Dict[str, np.ndarray]:
         # fresh arrays per batch: the C++ side fills them directly (single
         # copy out of the ring), ownership passes to the caller
-        img = np.empty((self.batch_size, self.h, self.w, 3), np.float32)
         gt = np.empty((self.batch_size, self.h, self.w), np.float32)
-        mask = np.empty((self.batch_size, self.h, self.w), np.float32)
-        ok = self._lib.packio_prefetch_next(
-            self._pf,
-            img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            gt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
+        if self.uint8_wire:
+            img = np.empty((self.batch_size, self.h, self.w, 3), np.uint8)
+            mask = np.empty((self.batch_size, self.h, self.w), np.uint8)
+            ok = self._lib.packio_prefetch_next_u8(
+                self._pf,
+                img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                gt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+        else:
+            img = np.empty((self.batch_size, self.h, self.w, 3), np.float32)
+            mask = np.empty((self.batch_size, self.h, self.w), np.float32)
+            ok = self._lib.packio_prefetch_next(
+                self._pf,
+                img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                gt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
         if not ok:
             raise StopIteration
         return {"image": img, "gt": gt, "mask": mask}

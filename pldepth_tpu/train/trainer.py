@@ -164,14 +164,20 @@ class Trainer:
         tx = self._ensure_tx()
 
         def train_step(state: TrainState, batch) -> Tuple[TrainState, StepMetrics]:
-            images = batch["image"].astype(jnp.float32)
+            # uint8 wire format: images may arrive as [0,255] u8 (4x less
+            # host->device traffic); rescale on device
+            images = batch["image"]
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            else:
+                images = images.astype(jnp.float32)
             key = jax.random.fold_in(state.rng_root, state.step)
 
             if fixed_rankings:
                 rankings = batch["rankings"]
             else:
-                gts = batch["gt"]
-                masks = batch["mask"]
+                gts = batch["gt"].astype(jnp.float32)
+                masks = batch["mask"].astype(jnp.float32)
                 if cfg.augmentation:
                     images, gts, masks = random_flip_batch(
                         jax.random.fold_in(key, 0), images, gts, masks
@@ -254,7 +260,10 @@ class Trainer:
         model = self.model
 
         def eval_step(state: TrainState, batch) -> jax.Array:
-            x = normalize_images(batch["image"].astype(jnp.float32), model.preprocess)
+            images = batch["image"]
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            x = normalize_images(images.astype(jnp.float32), model.preprocess)
             pred = model.module.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 x,

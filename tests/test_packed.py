@@ -37,7 +37,9 @@ def test_native_build():
 
 def test_native_iterator_batches_match_memmap(packed):
     ds, path = packed
-    it = NativePackedIterator(path, batch_size=4, seed=0, shuffle=False, loop=False)
+    it = NativePackedIterator(
+        path, batch_size=4, seed=0, shuffle=False, loop=False, uint8_wire=False
+    )
     pd = PackedDataset(path)
     batches = list(it)
     it.close()
@@ -48,6 +50,22 @@ def test_native_iterator_batches_match_memmap(packed):
     assert batches[0]["image"].shape == (4, 32, 32, 3)
     assert batches[0]["image"].dtype == np.float32
     assert batches[0]["image"].max() <= 1.0
+
+
+def test_native_iterator_uint8_wire(packed):
+    ds, path = packed
+    it = NativePackedIterator(
+        path, batch_size=4, seed=0, shuffle=False, loop=False, uint8_wire=True
+    )
+    b = next(it)
+    it.close()
+    assert b["image"].dtype == np.uint8
+    assert b["mask"].dtype == np.uint8
+    assert b["gt"].dtype == np.float32
+    want = np.stack([ds[i]["image"] for i in range(4)])
+    np.testing.assert_allclose(
+        b["image"].astype(np.float32) / 255.0, want, atol=1 / 255 + 1e-6
+    )
 
 
 def test_native_iterator_shuffles_and_loops(packed):
