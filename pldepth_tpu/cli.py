@@ -308,6 +308,67 @@ def active(rounds, split_num, sigma, pretrain_epochs, **kw):
 
 
 @cli.command()
+@click.option("--model_name", default="ff_effnet")
+@click.option("--load_model_path", required=True)
+@click.option("--inputs", required=True,
+              help="image file, directory of images, or packed dataset")
+@click.option("--out_dir", required=True)
+@click.option("--input_size", default=448, type=click.INT)
+@click.option("--batch_size", default=8, type=click.INT)
+@click.option("--save_png", default=True, type=click.BOOL)
+def predict(model_name, load_model_path, inputs, out_dir, input_size,
+            batch_size, save_png):
+    """Batched depth-map inference (serving path): writes <name>_depth.npy
+    (+ minmax-normalized png preview) per input image."""
+    import glob as globmod
+
+    import jax
+    import numpy as np
+
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.data import io as dio
+    from pldepth_tpu.train import Trainer
+    from pldepth_tpu.train.checkpoint import load_weights_npz
+
+    cfg = ExperimentConfig(model_name=model_name, input_size=input_size)
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = load_weights_npz(load_model_path, trainer.init_state())
+    predict_fn = jax.jit(trainer.predict)
+
+    if os.path.isdir(inputs):
+        files = sorted(
+            f for ext in ("*.jpg", "*.jpeg", "*.png")
+            for f in globmod.glob(os.path.join(inputs, ext))
+        )
+    else:
+        files = [inputs]
+    if not files:
+        raise click.UsageError(f"no images under {inputs}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    for start in range(0, len(files), batch_size):
+        chunk = files[start : start + batch_size]
+        imgs = np.stack([
+            dio.resize_bilinear(dio.read_image(f, 3), (input_size, input_size))
+            for f in chunk
+        ])
+        pad = batch_size - len(chunk)
+        if pad:
+            imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+        preds = np.asarray(predict_fn(state, imgs))[: len(chunk)]
+        for f, d in zip(chunk, preds):
+            stem = os.path.splitext(os.path.basename(f))[0]
+            np.save(os.path.join(out_dir, f"{stem}_depth.npy"), d)
+            if save_png:
+                from PIL import Image
+
+                lo, hi = float(d.min()), float(d.max())
+                u8 = ((d - lo) / max(hi - lo, 1e-9) * 255).astype(np.uint8)
+                Image.fromarray(u8).save(os.path.join(out_dir, f"{stem}_depth.png"))
+    click.echo(json.dumps({"n": len(files), "out_dir": out_dir}))
+
+
+@cli.command()
 @_reference_options
 @click.option("--out_dir", required=True)
 @click.option("--image_format", default="jpg", type=click.Choice(["jpg", "npz"]))

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pldepth_tpu.models import get_pl_depth_net, partition_params, MODEL_REGISTRY
 from pldepth_tpu.models.efficientnet import EfficientNetEncoder, round_filters
 from pldepth_tpu.models.resnet import ResNet50Encoder

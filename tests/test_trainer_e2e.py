@@ -5,6 +5,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pldepth_tpu.core.config import ExperimentConfig, MeshConfig
 from pldepth_tpu.data import (
     BatchIterator,
