@@ -55,6 +55,31 @@ def main() -> None:
     it = BatchIterator(ds, batch, seed=0)
     host_batch = next(it)
 
+    if os.environ.get("BENCH_MODE") == "infer":
+        # serving benchmark: batched forward only, resident input
+        predict = jax.jit(trainer.predict)
+        images = jax.device_put(host_batch["image"])
+        out = predict(state, images)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(scan_len):
+            t0 = time.time()
+            out = predict(state, images)
+            jax.block_until_ready(out)
+            times.append(time.time() - t0)
+        st = float(np.median(times))
+        print(
+            json.dumps(
+                {
+                    "metric": f"inference images/sec/chip ({cfg.model_name}@{image_size}^2)",
+                    "value": round(batch / st, 2),
+                    "unit": "images/sec/chip",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
+
     # --- device throughput on a resident batch.
     # Fence on the FULL output state every step: on this remote-TPU backend,
     # readiness of one scalar output does NOT imply the whole execution

@@ -71,6 +71,8 @@ def _reference_options(f):
         click.option("--compute_dtype", default="bfloat16"),
         click.option("--output_dir", default="runs"),
         click.option("--use_wandb", default=False, type=click.BOOL),
+        click.option("--profile", default=False, type=click.BOOL,
+                     help="capture a jax.profiler trace of 3 steady steps"),
         click.option("--config_json", default="",
                      help="JSON file with config overrides (applied before "
                           "CLI flags; reference ModelParameters"
@@ -91,7 +93,9 @@ def _make_config(kw) -> "ExperimentConfig":
     config_json = kw.get("config_json")
     if config_json:
         with open(config_json) as f:
-            file_vals = json.load(f)
+            file_vals = {
+                k: v for k, v in json.load(f).items() if not k.startswith("_")
+            }
         unknown = set(file_vals) - cfg_keys
         if unknown:
             raise click.UsageError(f"unknown keys in {config_json}: {sorted(unknown)}")
@@ -99,9 +103,9 @@ def _make_config(kw) -> "ExperimentConfig":
         # click defaults — file wins over defaults, flags win over file
         defaults = ExperimentConfig()
         for k, v in file_vals.items():
-            if values.get(k) == getattr(defaults, k):
+            if values.get(k, getattr(defaults, k)) == getattr(defaults, k):
                 values[k] = v
-    return ExperimentConfig(**values)
+    return ExperimentConfig.from_dict(values)
 
 
 def _load_data(cfg):
@@ -186,6 +190,24 @@ def train(**kw):
 
         def on_train_end(self, tr, st, history):
             pass
+
+    if cfg.profile:
+        # jax.profiler trace of a few steady-state steps (xplane dump under
+        # the run dir; the reference disabled profiling outright,
+        # tracking_utils.py:39)
+        from pldepth_tpu.obs.profiling import profile_trace
+
+        warm = trainer.shard_batch(next(train_iter))
+        state, _ = trainer.train_step(state, warm)  # compile outside trace
+        import jax as _jax
+
+        _jax.block_until_ready(state)
+        with profile_trace(os.path.join(logger.dir, "profile")):
+            for _ in range(3):
+                state, _m = trainer.train_step(
+                    state, trainer.shard_batch(next(train_iter))
+                )
+            _jax.block_until_ready(state)
 
     state, history = trainer.fit(
         state, train_iter, val_iter_factory=vfac, callbacks=[LogCB()]
