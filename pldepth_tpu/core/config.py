@@ -156,6 +156,9 @@ SAMPLING_TYPE_NAMES = {
     1: "info_score",
     2: "masked",
     3: "purely_masked",
+    # extension: heterogeneous segment-based sampling (the capability the
+    # reference declared via run_scripts/instance_sample.py but never shipped)
+    4: "segment",
 }
 
 

@@ -34,15 +34,24 @@ class EffNetFullyFledged(nn.Module):
 
     HR-WSI depth convention: output is *descending* depth order (higher =
     closer; reference pl_hourglass.py:22-31 ``asc_depth_order=False``).
+
+    ``remat``: rematerialize the encoder in the backward pass (trade FLOPs
+    for activation memory — for the large-input scaled configs).
     """
 
     variant: str = "b0"
     dtype: Any = jnp.bfloat16
     asc_depth_order: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        top, taps = EfficientNetEncoder(
+        enc_cls = (
+            nn.remat(EfficientNetEncoder, static_argnums=(2,))
+            if self.remat
+            else EfficientNetEncoder
+        )
+        top, taps = enc_cls(
             variant=self.variant, dtype=self.dtype, name="encoder"
         )(x, train)
         return SkipConcatDecoder(dtype=self.dtype, name="decoder")(top, taps, train)
@@ -77,19 +86,21 @@ class PLDepthModel:
 
 
 MODEL_REGISTRY: Dict[str, Callable[..., PLDepthModel]] = {
-    "ff_effnet": lambda dtype=jnp.bfloat16: PLDepthModel(
-        "ff_effnet", EffNetFullyFledged(variant="b0", dtype=dtype), "effnet"
+    "ff_effnet": lambda dtype=jnp.bfloat16, remat=False: PLDepthModel(
+        "ff_effnet",
+        EffNetFullyFledged(variant="b0", dtype=dtype, remat=remat),
+        "effnet",
     ),
-    "ff_redweb": lambda dtype=jnp.bfloat16: PLDepthModel(
+    "ff_redweb": lambda dtype=jnp.bfloat16, remat=False: PLDepthModel(
         "ff_redweb", ReDWebFullyFledged(dtype=dtype), "caffe"
     ),
 }
 for _v in VARIANTS:
     if _v != "b0":
         MODEL_REGISTRY[f"ff_effnet_{_v}"] = (
-            lambda dtype=jnp.bfloat16, _v=_v: PLDepthModel(
+            lambda dtype=jnp.bfloat16, remat=False, _v=_v: PLDepthModel(
                 f"ff_effnet_{_v}",
-                EffNetFullyFledged(variant=_v, dtype=dtype),
+                EffNetFullyFledged(variant=_v, dtype=dtype, remat=remat),
                 "effnet",
             )
         )
@@ -104,10 +115,12 @@ def get_model_type_by_name(model_name: str) -> str:
     return model_name
 
 
-def get_pl_depth_net(model_name: str, compute_dtype: str = "bfloat16") -> PLDepthModel:
+def get_pl_depth_net(
+    model_name: str, compute_dtype: str = "bfloat16", remat: bool = False
+) -> PLDepthModel:
     get_model_type_by_name(model_name)
     dtype = jnp.dtype(compute_dtype)
-    return MODEL_REGISTRY[model_name](dtype=dtype)
+    return MODEL_REGISTRY[model_name](dtype=dtype, remat=remat)
 
 
 def partition_params(params, freeze_encoder: bool = True):

@@ -62,7 +62,21 @@ SAMPLERS: Dict[str, SamplerSpec] = {
     "masked": SamplerSpec("masked", 1.5, scored=True),
     "thresholded": SamplerSpec("thresholded", 1.5, scored=True),
     "info_score": SamplerSpec("info_score", 5.0, scored=True),
+    # Segment-heterogeneous sampling. The reference *declared* this
+    # capability (run_scripts/instance_sample.py imports
+    # pldepth.data.seg_data.HeterogenousSegmentBasedSampling) but the
+    # implementation was gitignored and absent (SURVEY.md §1). This is a
+    # working TPU-native realization: pixels are partitioned into segments
+    # (spatial grid x depth bins, a cheap on-device proxy for instance
+    # segments) and each list draws its points from distinct segments, so
+    # rankings span heterogeneous regions; lists are then scored like
+    # ``thresholded``.
+    "segment": SamplerSpec("segment", 1.5, scored=True),
 }
+
+# segment sampler geometry: GRID x GRID spatial cells x DEPTH_BINS depth bins
+_SEG_GRID = 4
+_SEG_DEPTH_BINS = 4
 
 
 def get_sampler(name: str) -> SamplerSpec:
@@ -92,12 +106,54 @@ def _adjacent_equal_penalties(sorted_depths, threshold):
     return _EQUALITY_PENALTY * jnp.sum((rel == 0).astype(jnp.float32), axis=-1)
 
 
+def _segment_ids(gt, mask, grid: int, depth_bins: int):
+    """Per-pixel segment id: spatial grid cell x depth bin; masked-out
+    pixels get the sentinel id S (= number of segments)."""
+    hg, wg = gt.shape
+    gy = jax.lax.broadcasted_iota(jnp.int32, (hg, wg), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (hg, wg), 1)
+    cell = (gy * grid // hg) * grid + (gx * grid // wg)
+    lo, hi = jnp.min(gt), jnp.max(gt)
+    dbin = jnp.clip(
+        ((gt - lo) / jnp.maximum(hi - lo, 1e-6) * depth_bins).astype(jnp.int32),
+        0, depth_bins - 1,
+    )
+    seg = cell * depth_bins + dbin
+    n_seg = grid * grid * depth_bins
+    return jnp.where(mask > 0, seg, n_seg).reshape(-1), n_seg
+
+
+def _segment_draw(key, gt, mask, n_cand: int, k: int):
+    """(n_cand, k) flat gt-space indices, each list spanning distinct
+    segments (the heterogeneous-segment strategy)."""
+    seg_flat, n_seg = _segment_ids(gt, mask, _SEG_GRID, _SEG_DEPTH_BINS)
+    hw = seg_flat.shape[0]
+    # pixels ordered by segment; per-segment [start, count) windows
+    perm = jnp.argsort(seg_flat)
+    counts = jnp.zeros(n_seg + 1, jnp.int32).at[seg_flat].add(1)[:n_seg]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+
+    k_seg, k_pix, k_fb = jax.random.split(key, 3)
+    # choose k distinct non-empty segments per list (random top-k)
+    seg_scores = jax.random.uniform(k_seg, (n_cand, n_seg))
+    seg_scores = jnp.where(counts[None, :] > 0, seg_scores, -1.0)
+    _, chosen = jax.lax.top_k(seg_scores, k)  # (n_cand, k)
+
+    u = jax.random.uniform(k_pix, (n_cand, k))
+    cnt = counts[chosen]
+    offs = starts[chosen] + (u * cnt).astype(jnp.int32)
+    idx = perm[jnp.clip(offs, 0, hw - 1)]
+    # empty-segment fallback (fewer non-empty segments than k): global draw
+    fallback = _masked_uniform_points(k_fb, mask.reshape(-1), n_cand * k)
+    return jnp.where(cnt > 0, idx, fallback.reshape(n_cand, k))
+
+
 def _score_lists(name, sorted_depths, gt_min, gt_max, threshold):
     """Per-candidate-list selection score (higher = kept). (C, K) -> (C,)."""
     diffs = jnp.abs(sorted_depths[:, :-1] - sorted_depths[:, 1:])
     if name == "masked":
         return jnp.sum(diffs, axis=-1)
-    if name == "thresholded":
+    if name in ("thresholded", "segment"):
         return jnp.sum(diffs, axis=-1) + _adjacent_equal_penalties(
             sorted_depths, threshold
         )
@@ -142,13 +198,24 @@ def sample_rankings(
     hm, wm = mask.shape
     hg, wg = gt.shape
 
-    midx = _masked_uniform_points(key, mask.reshape(-1), n_cand * k)
-    mx, my = midx // wm, midx % wm
-    # mask-space -> gt/image-space (truncating scale, reference int() cast)
-    gx = jnp.minimum((mx * hg) // hm, hg - 1)
-    gy = jnp.minimum((my * wg) // wm, wg - 1)
-    depths = gt[gx, gy]
-    flat = (gx * wg + gy).astype(jnp.float32)
+    if sampler_name == "segment":
+        if (hm, wm) != (hg, wg):
+            ri = jax.lax.broadcasted_iota(jnp.int32, (hg, wg), 0) * hm // hg
+            ci = jax.lax.broadcasted_iota(jnp.int32, (hg, wg), 1) * wm // wg
+            mask_g = mask[ri, ci]
+        else:
+            mask_g = mask
+        gidx = _segment_draw(key, gt, mask_g, n_cand, k)
+        depths = gt.reshape(-1)[gidx.reshape(-1)]
+        flat = gidx.reshape(-1).astype(jnp.float32)
+    else:
+        midx = _masked_uniform_points(key, mask.reshape(-1), n_cand * k)
+        mx, my = midx // wm, midx % wm
+        # mask-space -> gt/image-space (truncating scale, reference int() cast)
+        gx = jnp.minimum((mx * hg) // hm, hg - 1)
+        gy = jnp.minimum((my * wg) // wm, wg - 1)
+        depths = gt[gx, gy]
+        flat = (gx * wg + gy).astype(jnp.float32)
 
     depths = depths.reshape(n_cand, k)
     flat = flat.reshape(n_cand, k)

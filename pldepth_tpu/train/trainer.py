@@ -75,7 +75,9 @@ class Trainer:
         self.cfg = cfg
         self.steps_per_epoch = max(1, steps_per_epoch)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
-        self.model = get_pl_depth_net(cfg.model_name, cfg.compute_dtype)
+        self.model = get_pl_depth_net(
+            cfg.model_name, cfg.compute_dtype, remat=cfg.remat_encoder
+        )
         self.sampler_name = sampler_name_for_type(cfg.sampling_type)
         get_sampler(self.sampler_name)
         self.schedule = build_schedule(cfg, self.steps_per_epoch)

@@ -143,6 +143,43 @@ def test_batched_sampling_distinct_per_image(rng):
     assert not np.allclose(out[0], out[1]), "per-image keys must differ"
 
 
+def test_segment_sampler_heterogeneous(rng):
+    from pldepth_tpu.sampling.samplers import _SEG_DEPTH_BINS, _SEG_GRID, _segment_ids
+    import jax.numpy as jnp
+
+    gt, mask = make_image(rng, mask_frac=1.0)
+    out = np.asarray(
+        sample_rankings(
+            jax.random.key(9), gt, mask,
+            sampler_name="segment", rankings_per_image=RPI, ranking_size=K,
+        )
+    )
+    assert out.shape == (RPI, K, 2)
+    idx = out[..., 0].astype(int)
+    gt_np = np.asarray(gt).reshape(-1)
+    np.testing.assert_allclose(out[..., 1], gt_np[idx], rtol=1e-6)
+    # each list's points land in distinct segments
+    seg_flat, n_seg = _segment_ids(gt, jnp.asarray(mask), _SEG_GRID, _SEG_DEPTH_BINS)
+    seg_flat = np.asarray(seg_flat)
+    for lst in idx:
+        segs = seg_flat[lst]
+        assert len(set(segs.tolist())) == K, segs
+
+
+def test_segment_sampler_respects_mask(rng):
+    gt, _ = make_image(rng)
+    mask = np.zeros((H, W), np.float32)
+    mask[: H // 2] = 1.0
+    out = np.asarray(
+        sample_rankings(
+            jax.random.key(10), gt, jnp.array(mask),
+            sampler_name="segment", rankings_per_image=8, ranking_size=3,
+        )
+    )
+    rows = out[..., 0].astype(int) // W
+    assert rows.max() < H // 2
+
+
 def test_empty_mask_fallback(rng):
     gt, _ = make_image(rng)
     mask = jnp.zeros((H, W), jnp.float32)
