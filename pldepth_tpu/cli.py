@@ -73,6 +73,10 @@ def _reference_options(f):
         click.option("--use_wandb", default=False, type=click.BOOL),
         click.option("--profile", default=False, type=click.BOOL,
                      help="capture a jax.profiler trace of 3 steady steps"),
+        click.option("--pack_cache", default="",
+                     help="path to a .pldpack cache: pack the training split "
+                          "once, then stream it through the native C++ "
+                          "reader (decode-once data path)"),
         click.option("--config_json", default="",
                      help="JSON file with config overrides (applied before "
                           "CLI flags; reference ModelParameters"
@@ -132,7 +136,7 @@ def cli():
 
 @cli.command()
 @_reference_options
-def train(**kw):
+def train(pack_cache="", **kw):
     """Main training experiment (reference perform_pldepth_experiment)."""
     import jax
 
@@ -157,7 +161,15 @@ def train(**kw):
     if cfg.load_model_path:
         state = load_weights_npz(cfg.load_model_path, state)
 
-    train_iter = BatchIterator(train_ds, cfg.batch_size, seed=cfg.seed)
+    if pack_cache:
+        from pldepth_tpu.data.packed import NativePackedIterator, pack_dataset
+
+        if not os.path.exists(pack_cache):
+            click.echo(f"packing {len(train_ds)} samples -> {pack_cache}")
+            pack_dataset(train_ds, pack_cache)
+        train_iter = NativePackedIterator(pack_cache, cfg.batch_size, seed=cfg.seed)
+    else:
+        train_iter = BatchIterator(train_ds, cfg.batch_size, seed=cfg.seed)
     vfac = None
     if len(val_ds) >= cfg.batch_size:
         # pre-generated fixed val rankings with the thresholded sampler

@@ -324,13 +324,16 @@ class Trainer:
         history: Dict[str, list] = {"loss": [], "val_loss": [], "lr": [], "ips": []}
         for cb in callbacks:
             cb.on_train_begin(self)
+        next_batch = self.shard_batch(next(train_iter))
         for epoch in range(epochs):
             t0 = time.time()
             losses = []
             last_lr = float("nan")
             for step_i in range(self.steps_per_epoch):
-                batch = self.shard_batch(next(train_iter))
+                batch = next_batch
                 state, metrics = self.train_step(state, batch)
+                # overlap the next host fetch + H2D transfer with the step
+                next_batch = self.shard_batch(next(train_iter))
                 losses.append(metrics.loss)
                 last_lr = metrics.lr
                 # Bound in-flight steps: the remote-TPU transport has been
