@@ -20,7 +20,7 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ architecture (the width/depth scaling resolves at trace time), optional
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

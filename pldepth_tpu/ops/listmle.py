@@ -33,9 +33,6 @@ falls back to host like the reference's ``tf.numpy_function`` pipeline did.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

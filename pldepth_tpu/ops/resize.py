@@ -14,19 +14,16 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 
 
 def resize_bilinear(img: jax.Array, size: Sequence[int]) -> jax.Array:
     """Bilinear resize of (..., H, W, C) to (..., size[0], size[1], C)."""
-    *lead, h, w, c = img.shape
-    out_shape = (*lead, int(size[0]), int(size[1]), c)
+    out_shape = (*img.shape[:-3], int(size[0]), int(size[1]), img.shape[-1])
     return jax.image.resize(img, out_shape, method="bilinear", antialias=False)
 
 
 def resize_nearest(img: jax.Array, size: Sequence[int]) -> jax.Array:
     """Nearest-neighbor resize (masks; reference hr_wsi.py:73-74)."""
-    *lead, h, w = img.shape[:-1] + (img.shape[-1],)
     if img.ndim == 2:
         out_shape = (int(size[0]), int(size[1]))
     else:

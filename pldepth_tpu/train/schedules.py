@@ -18,7 +18,7 @@ train step — no host callback mutates optimizer state between batches.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 

@@ -26,7 +26,6 @@ TPU-first design:
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
