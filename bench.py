@@ -57,17 +57,33 @@ def main() -> None:
 
     if os.environ.get("BENCH_MODE") == "infer":
         # serving benchmark: batched forward only, resident input
-        predict = jax.jit(trainer.predict)
+        # Per-forward time via chained executions inside ONE jit, differencing
+        # two chain lengths: block_until_ready can return early on this
+        # backend and a host value fetch adds ~60ms tunnel RTT, so neither
+        # single-call timing is truthful. Chained forwards must all execute
+        # before the fetched value exists; the RTT cancels in the difference.
+        import jax.numpy as jnp
+
+        def chain(n):
+            def f(s, x):
+                def body(_, xc):
+                    p = trainer.predict(s, xc)
+                    return jnp.stack([p, p, p], axis=-1)
+                return jax.lax.fori_loop(0, n, body, x).sum()
+            return jax.jit(f)
+
         images = jax.device_put(host_batch["image"])
-        out = predict(state, images)
-        jax.block_until_ready(out)
-        times = []
-        for _ in range(scan_len):
-            t0 = time.time()
-            out = predict(state, images)
-            jax.block_until_ready(out)
-            times.append(time.time() - t0)
-        st = float(np.median(times))
+        n_lo, n_hi = 4, 16
+        f_lo, f_hi = chain(n_lo), chain(n_hi)
+        _ = float(f_lo(state, images)); _ = float(f_hi(state, images))
+        def med(f):
+            ts = []
+            for _ in range(5):
+                t0 = time.time()
+                _ = float(f(state, images))
+                ts.append(time.time() - t0)
+            return float(np.median(ts))
+        st = max((med(f_hi) - med(f_lo)) / (n_hi - n_lo), 1e-6)
         print(
             json.dumps(
                 {
@@ -81,21 +97,43 @@ def main() -> None:
         return
 
     # --- device throughput on a resident batch.
-    # Fence on the FULL output state every step: on this remote-TPU backend,
-    # readiness of one scalar output does NOT imply the whole execution
-    # finished (measured >2x "faster than peak" with a loss-only fence).
-    dev_batch = trainer.shard_batch(host_batch)
-    state, _ = trainer.train_step(state, dev_batch)  # warmup/compile
-    jax.block_until_ready(state)
+    # Chained-difference methodology: N dependent steps inside ONE jit
+    # (lax.fori_loop) fetching a host value at the end, timed at two chain
+    # lengths; the per-step time is the slope. This is the only measurement
+    # this remote-TPU backend cannot inflate: block_until_ready (even on the
+    # full output state) can return before execution completes here, and a
+    # single host fetch adds ~60 ms of tunnel RTT that the difference
+    # cancels. See docs/BENCH.md.
+    import jax.numpy as jnp
 
-    times = []
-    for _ in range(scan_len):
-        t0 = time.time()
-        state, m = trainer.train_step(state, dev_batch)
-        jax.block_until_ready(state)
-        times.append(time.time() - t0)
-    step_time = float(np.median(times))
+    dev_batch = trainer.shard_batch(host_batch)
+
+    def chain(n):
+        def f(st, bt):
+            def body(_, carry):
+                st2, acc = carry
+                st2, m2 = trainer.train_step(st2, bt)
+                return (st2, acc + m2.loss)
+            _, acc = jax.lax.fori_loop(0, n, body, (st, jnp.float32(0)))
+            return acc
+        return jax.jit(f)
+
+    n_lo, n_hi = 2, 2 + scan_len
+    f_lo, f_hi = chain(n_lo), chain(n_hi)
+    _ = float(f_lo(state, dev_batch))  # compile
+    _ = float(f_hi(state, dev_batch))
+
+    def med(f):
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            _ = float(f(state, dev_batch))
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    step_time = max((med(f_hi) - med(f_lo)) / (n_hi - n_lo), 1e-6)
     ips = batch / step_time
+    state, m = trainer.train_step(state, dev_batch)  # loss sample for detail
 
     flops = None
     try:
@@ -173,7 +211,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "train images/sec/chip (ff_effnet@448^2, K=5, info-score)",
+                "metric": f"train images/sec/chip ({cfg.model_name}@{image_size}^2, K=5, info-score)",
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / baseline, 2),

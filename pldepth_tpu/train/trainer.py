@@ -143,9 +143,21 @@ class Trainer:
         return jax.device_put(tree, sharding)
 
     def shard_batch(self, batch: Dict[str, np.ndarray]):
+        """Place a host batch onto the mesh, sharded on the leading axis.
+
+        Single-host: a plain sharded device_put of the global batch.
+        Multi-host (jax.distributed): each process holds only its shard of
+        the global batch (BatchIterator's shard_index/num_shards), assembled
+        into one global array without cross-host transfer.
+        """
+        multihost = jax.process_count() > 1
+
         def put(x):
             spec = P(self.mesh.axis_names[0], *([None] * (np.ndim(x) - 1)))
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
+            sharding = NamedSharding(self.mesh, spec)
+            if multihost:
+                return jax.make_array_from_process_local_data(sharding, x)
+            return jax.device_put(x, sharding)
 
         return {k: put(v) for k, v in batch.items()}
 
