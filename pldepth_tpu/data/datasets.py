@@ -197,9 +197,7 @@ DATASETS: Dict[str, Callable[..., DepthDataset]] = {
 def get_dataset(name: str, **kwargs) -> DepthDataset:
     """Name lookup, case-insensitive like the reference (io_utils.py:13-25)."""
     canonical = {k.lower(): k for k in DATASETS}
-    key = canonical.get(name.lower().replace("_", "-").replace("hr-wsi", "hr-wsi"))
-    if key is None:
-        key = canonical.get(name.lower())
+    key = canonical.get(name.lower().replace("_", "-")) or canonical.get(name.lower())
     if key is None:
         raise ValueError(f"Unknown dataset name: {name} (have {sorted(DATASETS)})")
     if key == "HR-WSI":
