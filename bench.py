@@ -48,6 +48,7 @@ def main() -> None:
         sampling_type=1,  # info-score
         freeze_encoder=False,
         initial_lr=1e-3,
+        sparse_tail=bool(int(os.environ.get("BENCH_SPARSE_TAIL", "0"))),
     )
     trainer = Trainer(cfg, steps_per_epoch=1)
     state = trainer.init_state()
@@ -194,6 +195,7 @@ def main() -> None:
             "ranking_size": cfg.ranking_size,
             "rankings_per_image": cfg.rankings_per_image,
             "sampler": "info_score",
+            "sparse_tail": cfg.sparse_tail,
         },
         "images_per_sec_device": ips,
         "step_time_ms": step_time * 1000.0,

@@ -69,6 +69,11 @@ def _reference_options(f):
         click.option("--freeze_encoder", default=False, type=click.BOOL),
         click.option("--pretrained_path", default=""),
         click.option("--compute_dtype", default="bfloat16"),
+        click.option("--sparse_tail", default=False, type=click.BOOL,
+                     help="evaluate the full-res decoder tail only at the "
+                          "sampled ranking pixels during training (exact "
+                          "through the last BN; measured slower at the "
+                          "headline config — see docs/BENCH.md)"),
         click.option("--output_dir", default="runs"),
         click.option("--use_wandb", default=False, type=click.BOOL),
         click.option("--profile", default=False, type=click.BOOL,

@@ -86,6 +86,11 @@ class ExperimentConfig:
     pretrained_path: str = ""  # offline converted backbone weights (.npz)
     compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
     remat_encoder: bool = False
+    # Evaluate the full-res decoder tail only at the sampled ranking pixels
+    # during training (ops/sparse_tail.py) — exact through the last BN.
+    # Measured slower at the headline config (docs/BENCH.md), so off by
+    # default; useful for point-query serving and very large resolutions.
+    sparse_tail: bool = False
 
     # --- loss ---
     listmle_impl: str = "auto"  # auto | pallas | xla

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from pldepth_tpu.ops.resize import upsample2x_bilinear
+from pldepth_tpu.ops.sparse_tail import sparse_upsample2x_taps
 
 
 def _bn(name: str, train: bool):
@@ -35,13 +36,20 @@ def _bn(name: str, train: bool):
 
 
 class SkipConcatDecoder(nn.Module):
-    """(top 1/32, taps expand_6/4/3) -> full-resolution 1-channel depth map."""
+    """(top 1/32, taps expand_6/4/3) -> full-resolution 1-channel depth map.
+
+    With ``pixels`` (B, N, 2) int32 full-res (row, col) coordinates, the
+    final upsample + head conv run sparsely at those pixels only
+    (ops/sparse_tail.py) and the output is (B, N) depths. Everything through
+    the last BatchNorm stays dense, so batch statistics and their gradients
+    match the dense path exactly; both paths create identical parameters.
+    """
 
     head_ch: int = 32
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, top, taps, train: bool = False):
+    def __call__(self, top, taps, train: bool = False, pixels=None):
         def conv_bn_relu_up(x, ch, idx):
             x = nn.Conv(
                 ch, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{idx}"
@@ -56,9 +64,19 @@ class SkipConcatDecoder(nn.Module):
         x = conv_bn_relu_up(x, taps["expand_3"].shape[-1], 2)  # -> 1/4
         x = jnp.concatenate([x, taps["expand_3"]], axis=-1)
         x = conv_bn_relu_up(x, self.head_ch, 3)  # -> 1/2
-        x = conv_bn_relu_up(x, self.head_ch, 4)  # -> 1/1
-        x = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="head")(x)
-        return x.astype(jnp.float32)
+        # stage 4 unrolled (conv4/bn4/relu at 1/2) so the tail can go sparse
+        x = nn.Conv(
+            self.head_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv4"
+        )(x)
+        x = nn.relu(_bn("bn4", train)(x).astype(self.dtype))
+        head = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="head")
+        if pixels is None:
+            x = upsample2x_bilinear(x)  # -> 1/1
+            return head(x).astype(jnp.float32)
+        tap = sparse_upsample2x_taps(x, pixels, window=3)  # (B, N, 3, 3, C)
+        b, n = tap.shape[:2]
+        out = head(tap.reshape(b * n, 3, 3, tap.shape[-1]))[:, 1, 1, 0]
+        return out.reshape(b, n).astype(jnp.float32)
 
 
 class ResidualBottleneckPair(nn.Module):
@@ -120,18 +138,26 @@ class FeatureFusion(nn.Module):
 
 
 class AdaptiveOutput(nn.Module):
-    """Depth head (reference AdaptiveOutputLayer, redweb.py:293-351)."""
+    """Depth head (reference AdaptiveOutputLayer, redweb.py:293-351).
+
+    With ``pixels``, the final upsample + 1x1 conv run sparsely (the 1x1
+    conv needs a single bilinear tap per pixel) and the output is (B, N).
+    """
 
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, pixels=None):
         x = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv0")(x)
         x = nn.relu(_bn("bn0", train)(x).astype(self.dtype))
         x = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x)
-        x = upsample2x_bilinear(x)
-        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv2")(x)
-        return x.astype(jnp.float32)
+        out = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv2")
+        if pixels is None:
+            return out(upsample2x_bilinear(x)).astype(jnp.float32)
+        tap = sparse_upsample2x_taps(x, pixels, window=1)  # (B, N, 1, 1, 1)
+        b, n = tap.shape[:2]
+        val = out(tap.reshape(b * n, 1, 1, 1))[:, 0, 0, 0]
+        return val.reshape(b, n).astype(jnp.float32)
 
 
 class ReDWebDecoder(nn.Module):
@@ -141,7 +167,7 @@ class ReDWebDecoder(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, c5, taps, train: bool = False):
+    def __call__(self, c5, taps, train: bool = False, pixels=None):
         x = upsample2x_bilinear(c5)  # 1/32 -> 1/16
         x = FeatureFusion(self.fusion_ch[0], dtype=self.dtype, name="fusion0")(
             taps["c4_mid"], x, train
@@ -152,4 +178,6 @@ class ReDWebDecoder(nn.Module):
         x = FeatureFusion(self.fusion_ch[2], dtype=self.dtype, name="fusion2")(
             taps["c2"], x, train
         )  # -> 1/2
-        return AdaptiveOutput(dtype=self.dtype, name="output")(x, train)  # -> 1/1
+        return AdaptiveOutput(dtype=self.dtype, name="output")(
+            x, train, pixels
+        )  # -> 1/1

@@ -45,7 +45,7 @@ class EffNetFullyFledged(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, pixels=None):
         enc_cls = (
             nn.remat(EfficientNetEncoder, static_argnums=(2,))
             if self.remat
@@ -54,7 +54,9 @@ class EffNetFullyFledged(nn.Module):
         top, taps = enc_cls(
             variant=self.variant, dtype=self.dtype, name="encoder"
         )(x, train)
-        return SkipConcatDecoder(dtype=self.dtype, name="decoder")(top, taps, train)
+        return SkipConcatDecoder(dtype=self.dtype, name="decoder")(
+            top, taps, train, pixels
+        )
 
 
 class ReDWebFullyFledged(nn.Module):
@@ -64,9 +66,9 @@ class ReDWebFullyFledged(nn.Module):
     asc_depth_order: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, pixels=None):
         c5, taps = ResNet50Encoder(dtype=self.dtype, name="encoder")(x, train)
-        return ReDWebDecoder(dtype=self.dtype, name="decoder")(c5, taps, train)
+        return ReDWebDecoder(dtype=self.dtype, name="decoder")(c5, taps, train, pixels)
 
 
 @dataclasses.dataclass(frozen=True)

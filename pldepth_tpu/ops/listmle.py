@@ -129,3 +129,24 @@ def pl_ranking_loss(
     scores = gather_ranked_scores(pred_maps, point_idx)
     nll = listmle_nll(scores, gt_depths, impl=impl)
     return jnp.mean(nll)
+
+
+def pl_ranking_loss_from_scores(
+    scores: jax.Array,
+    rankings: jax.Array,
+    impl: str = "auto",
+) -> jax.Array:
+    """Mean ListMLE loss from pre-gathered scores (sparse decoder tail).
+
+    The sparse-tail model path (ops/sparse_tail.py) returns predicted depths
+    at the ranked pixels directly, in the flattened order of
+    ``rankings[..., 0]`` — no map gather needed.
+
+    Args:
+      scores: (B, RPI * K) predicted depths at the ranked pixels.
+      rankings: (B, RPI, K, 2) as in :func:`pl_ranking_loss`.
+    """
+    k = rankings.shape[-2]
+    gt_depths = rankings[..., 1].reshape(-1, k)
+    nll = listmle_nll(scores.reshape(-1, k), gt_depths, impl=impl)
+    return jnp.mean(nll)

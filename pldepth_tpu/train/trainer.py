@@ -42,7 +42,7 @@ from pldepth_tpu.core.mesh import make_mesh
 from pldepth_tpu.core.rng import fold_in_str
 from pldepth_tpu.data.preprocess import normalize_images, random_flip_batch
 from pldepth_tpu.models import get_pl_depth_net, partition_params
-from pldepth_tpu.ops import pl_ranking_loss
+from pldepth_tpu.ops import pl_ranking_loss, pl_ranking_loss_from_scores
 from pldepth_tpu.sampling import get_sampler, sample_rankings_batch
 from pldepth_tpu.train.schedules import build_schedule
 
@@ -209,15 +209,32 @@ class Trainer:
                 )
             x = normalize_images(images, model.preprocess)
 
+            if cfg.sparse_tail:
+                # full-res head evaluated only at the ranked pixels
+                # (ops/sparse_tail.py); scores come back pre-gathered in
+                # rankings[..., 0] order
+                b = x.shape[0]
+                w = x.shape[2]
+                flat = rankings[..., 0].astype(jnp.int32).reshape(b, -1)
+                pixels = jnp.stack([flat // w, flat % w], axis=-1)
+            else:
+                pixels = None
+
             def loss_fn(params):
                 pred, updates = model.module.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     x,
                     True,
+                    pixels,
                     rngs={"droppath": jax.random.fold_in(key, 2)},
                     mutable=["batch_stats"],
                 )
-                loss = self._loss_from_pred(pred, rankings)
+                if pixels is None:
+                    loss = self._loss_from_pred(pred, rankings)
+                else:
+                    loss = pl_ranking_loss_from_scores(
+                        pred, rankings, impl=cfg.listmle_impl
+                    )
                 return loss, updates["batch_stats"]
 
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

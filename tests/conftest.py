@@ -14,6 +14,18 @@ import os
 
 import jax
 
+# XLA:CPU's cross-device collectives rendezvous hard-aborts the process if
+# the 8 virtual devices don't all reach an all-reduce within 40s — which a
+# 1-core host under load can exceed (observed: intermittent silent SIGABRT in
+# rendezvous.cc). The flag is read when the CPU client initializes, which is
+# lazy, so setting it here (before any backend use) is early enough.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "collective_call_terminate" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    ).strip()
+
 if not os.environ.get("PLDEPTH_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)

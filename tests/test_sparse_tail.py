@@ -1,0 +1,181 @@
+"""Sparse decoder tail (ops/sparse_tail.py): exactness vs the dense path.
+
+The sparse path must reproduce the dense decoder's output at the sampled
+pixels — values, batch-stat updates, and parameter gradients — since it is
+advertised as an exact training-time optimization (config.sparse_tail).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pldepth_tpu.models import get_pl_depth_net
+from pldepth_tpu.ops import (
+    gather_ranked_scores,
+    pl_ranking_loss,
+    pl_ranking_loss_from_scores,
+    sparse_upsample2x_taps,
+)
+from pldepth_tpu.ops.resize import upsample2x_bilinear
+
+pytestmark = pytest.mark.slow
+
+S = 64  # small input divisible by 32
+
+
+def _corner_and_random_pixels(rng, b, h, w, n):
+    """(B, N, 2) pixels including all four corners and edges."""
+    pts = rng.integers(0, [h, w], size=(b, n, 2))
+    corners = np.array([[0, 0], [0, w - 1], [h - 1, 0], [h - 1, w - 1]])
+    pts[:, : len(corners)] = corners
+    return jnp.asarray(pts, jnp.int32)
+
+
+@pytest.mark.parametrize("window", [1, 3])
+def test_taps_match_dense_upsample(rng, window):
+    b, h2, w2, c = 2, 7, 9, 5
+    x = jnp.asarray(rng.normal(size=(b, h2, w2, c)).astype(np.float32))
+    pixels = _corner_and_random_pixels(rng, b, 2 * h2, 2 * w2, 24)
+    tap = sparse_upsample2x_taps(x, pixels, window=window)
+    dense = upsample2x_bilinear(x)
+    pad = window // 2
+    padded = jnp.pad(dense, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    for bi in range(b):
+        for ni in range(pixels.shape[1]):
+            r, c_ = int(pixels[bi, ni, 0]), int(pixels[bi, ni, 1])
+            want = padded[bi, r : r + window, c_ : c_ + window]
+            np.testing.assert_allclose(
+                np.asarray(tap[bi, ni]), np.asarray(want), rtol=1e-5, atol=1e-6
+            )
+
+
+def _init(model, shape):
+    return model.init_variables(jax.random.key(0), shape)
+
+
+@pytest.mark.parametrize("name", ["ff_effnet", "ff_redweb"])
+def test_sparse_equals_dense_forward_and_stats(rng, name):
+    with jax.default_matmul_precision("highest"):
+        model = get_pl_depth_net(name, compute_dtype="float32")
+        variables = _init(model, (S, S, 3))
+        x = jnp.asarray(rng.normal(size=(2, S, S, 3)).astype(np.float32))
+        pixels = _corner_and_random_pixels(rng, 2, S, S, 40)
+        rngs = {"droppath": jax.random.key(1)}
+
+        dense, dstats = model.module.apply(
+            variables, x, True, rngs=rngs, mutable=["batch_stats"]
+        )
+        sparse, sstats = model.module.apply(
+            variables, x, True, pixels, rngs=rngs, mutable=["batch_stats"]
+        )
+        flat = (pixels[..., 0] * S + pixels[..., 1]).astype(jnp.int32)
+        want = jnp.take_along_axis(dense.reshape(2, -1), flat, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(sparse), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+        # batch statistics (all BNs run dense in both paths) must be identical
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            dstats["batch_stats"],
+            sstats["batch_stats"],
+        )
+
+
+def test_sparse_equals_dense_gradients(rng):
+    """Parameter gradients of the ranking loss agree between paths."""
+    with jax.default_matmul_precision("highest"):
+        model = get_pl_depth_net("ff_effnet", compute_dtype="float32")
+        variables = _init(model, (S, S, 3))
+        params, stats = variables["params"], variables["batch_stats"]
+        x = jnp.asarray(rng.normal(size=(2, S, S, 3)).astype(np.float32))
+        rpi, k = 8, 4
+        flat = jnp.asarray(rng.integers(0, S * S, size=(2, rpi, k)), jnp.int32)
+        gt = jnp.asarray(
+            -np.sort(-rng.random(size=(2, rpi, k)).astype(np.float32), axis=-1)
+        )
+        rankings = jnp.stack([flat.astype(jnp.float32), gt], axis=-1)
+        rngs = {"droppath": jax.random.key(1)}
+
+        def dense_loss(p):
+            pred, _ = model.module.apply(
+                {"params": p, "batch_stats": stats}, x, True,
+                rngs=rngs, mutable=["batch_stats"],
+            )
+            return pl_ranking_loss(pred, rankings, impl="xla")
+
+        def sparse_loss(p):
+            pixels = jnp.stack(
+                [flat.reshape(2, -1) // S, flat.reshape(2, -1) % S], axis=-1
+            )
+            scores, _ = model.module.apply(
+                {"params": p, "batch_stats": stats}, x, True, pixels,
+                rngs=rngs, mutable=["batch_stats"],
+            )
+            return pl_ranking_loss_from_scores(scores, rankings, impl="xla")
+
+        ld, gd = jax.value_and_grad(dense_loss)(params)
+        ls, gs = jax.value_and_grad(sparse_loss)(params)
+        np.testing.assert_allclose(float(ld), float(ls), rtol=1e-5)
+
+        leaves_d, treedef = jax.tree_util.tree_flatten(gd)
+        leaves_s = treedef.flatten_up_to(gs)
+        for a, b in zip(leaves_d, leaves_s):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+            )
+
+
+def test_loss_from_scores_matches_gathered(rng):
+    pred = jnp.asarray(rng.normal(size=(3, 16, 16)).astype(np.float32))
+    flat = jnp.asarray(rng.integers(0, 256, size=(3, 6, 5)), jnp.float32)
+    gt = jnp.asarray(rng.random(size=(3, 6, 5)).astype(np.float32))
+    rankings = jnp.stack([flat, gt], axis=-1)
+    scores = gather_ranked_scores(pred, flat.astype(jnp.int32)).reshape(3, -1)
+    a = pl_ranking_loss(pred, rankings, impl="xla")
+    b = pl_ranking_loss_from_scores(scores, rankings, impl="xla")
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
+def test_trainer_sparse_tail_step(rng):
+    """Trainer integration: a sparse-tail step runs and tracks the dense
+    step's loss on the identical state/batch/rng (bf16 rounding tolerance).
+
+    Uses a 1-device mesh: SPMD partitioning is covered by the e2e trainer
+    tests, and two full train-step compiles on the 8-way virtual mesh are
+    the single most expensive thing the suite can do on this 1-core host.
+    """
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.core.mesh import make_mesh
+    from pldepth_tpu.train.trainer import Trainer
+
+    base = ExperimentConfig(
+        model_name="ff_effnet", batch_size=4, input_size=S,
+        ranking_size=3, rankings_per_image=10, sampling_type=1,
+        epochs=1, compute_dtype="float32", schedule="constant",
+        initial_lr=1e-3, freeze_encoder=False,
+    )
+    batch = {
+        "image": rng.random(size=(4, S, S, 3)).astype(np.float32),
+        "gt": rng.random(size=(4, S, S)).astype(np.float32),
+        "mask": np.ones((4, S, S), np.float32),
+    }
+    mesh1 = make_mesh(devices=jax.devices()[:1])
+    with jax.default_matmul_precision("highest"):
+        tr_d = Trainer(base, steps_per_epoch=1, mesh=mesh1)
+        tr_s = Trainer(base.replace(sparse_tail=True), steps_per_epoch=1, mesh=tr_d.mesh)
+        state = tr_d.init_state()
+        sd, md = tr_d.train_step(state, tr_d.shard_batch(batch))
+        # donate_argnums: state was consumed — rebuild the same one
+        state2 = tr_s.init_state()
+        ss, ms = tr_s.train_step(state2, tr_s.shard_batch(batch))
+    assert bool(md.finite) and bool(ms.finite)
+    np.testing.assert_allclose(float(md.loss), float(ms.loss), rtol=1e-4)
+    # No post-step param comparison: amsgrad normalizes grads, so leaves
+    # whose true grad is ~0 get +-lr first-step updates whose *sign* is set
+    # by reduction-order noise — any tolerance tight enough to mean
+    # something fails spuriously. Gradient equivalence (the real contract)
+    # is asserted at model level in test_sparse_equals_dense_gradients.
+    del sd, ss
