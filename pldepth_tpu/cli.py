@@ -255,8 +255,11 @@ def train(pack_cache="", **kw):
 @click.option("--ranking_size", default=5, type=click.INT)
 @click.option("--limit", default=None, type=click.INT)
 @click.option("--tau", default=0.03, type=click.FLOAT)
+@click.option("--device_metrics", default=False, type=click.BOOL,
+              help="compute ordinal/WHDR/NDCG on device (fast path; "
+                   "statistically equivalent, excludes edge metrics)")
 def eval_cmd(model_name, load_model_path, dataset, data_root, input_size,
-             ranking_size, limit, tau):
+             ranking_size, limit, tau, device_metrics):
     """Test-set evaluation (reference test_data_eval.py:30-104)."""
     from pldepth_tpu.core.config import ExperimentConfig
     from pldepth_tpu.data import get_dataset
@@ -274,7 +277,11 @@ def eval_cmd(model_name, load_model_path, dataset, data_root, input_size,
         ds = get_dataset("synthetic", target_size=input_size, size=limit or 64)
     else:
         ds = get_dataset(dataset, root=data_root, target_size=input_size)
-    report = Evaluator(trainer, state).full_report(ds, limit=limit, tau=tau)
+    ev = Evaluator(trainer, state)
+    if device_metrics:
+        report = ev.full_report_device(ds, limit=limit, tau=tau)
+    else:
+        report = ev.full_report(ds, limit=limit, tau=tau)
     click.echo(json.dumps(report, indent=2))
 
 

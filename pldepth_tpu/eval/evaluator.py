@@ -17,10 +17,12 @@ import logging
 from typing import Dict, Iterable, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pldepth_tpu.data.datasets import DepthDataset
 from pldepth_tpu.eval import metrics as M
+from pldepth_tpu.eval.device_metrics import eval_metrics_batch
 
 log = logging.getLogger(__name__)
 
@@ -98,6 +100,53 @@ class Evaluator:
         except RuntimeError:  # pragma: no cover - cv2 missing
             pass
         return report
+
+    def full_report_device(
+        self,
+        ds: DepthDataset,
+        limit: Optional[int] = None,
+        tau: float = 0.03,
+        seed: int = 0,
+    ) -> Dict[str, float]:
+        """full_report on the device fast path (eval/device_metrics.py).
+
+        Inference AND metric arithmetic stay on device; the host receives
+        three scalars per image instead of the full-resolution maps. Pair
+        sampling uses jax.random, so values track the host (reference-
+        seeded) path to within sampling noise (~0.008 at 5000 pairs), not
+        bitwise. Edge metrics remain host-side (cv2 Canny has no device
+        equivalent here) — use full_report when those are needed.
+        """
+        inv = ds.asc_depth_order
+        key = jax.random.key(seed)
+        n = min(len(ds), limit) if limit else len(ds)
+        per_image: Dict[str, List[np.ndarray]] = {
+            "ordinal_error": [], "whdr": [], "ndcg": []
+        }
+        for bi, start in enumerate(range(0, n, self.batch_size)):
+            items = [ds[i] for i in range(start, min(start + self.batch_size, n))]
+            images = np.stack([s["image"] for s in items])
+            gts = np.stack([np.squeeze(np.asarray(s["gt"])) for s in items])
+            pad = self.batch_size - images.shape[0]
+            if pad:  # keep one compiled shape; padded rows are discarded
+                images = np.concatenate([images, np.zeros_like(images[:pad])])
+                gts = np.concatenate([gts, np.ones_like(gts[:pad])])
+            preds = self._predict(self.state, images)
+            m = eval_metrics_batch(
+                jax.random.fold_in(key, bi),
+                preds,
+                jnp.asarray(gts),
+                tau=tau,
+                invert_pred_order=inv,
+            )
+            host = jax.device_get(m)
+            for k in per_image:
+                per_image[k].append(host[k][: len(items)])
+        return {
+            "test_error": float(np.mean(np.concatenate(per_image["ordinal_error"]))),
+            f"whdr_tau_{tau}": float(np.mean(np.concatenate(per_image["whdr"]))),
+            "ndcg_200": float(np.mean(np.concatenate(per_image["ndcg"]))),
+        }
 
     def zero_shot_suite(
         self, datasets: Iterable[DepthDataset], limit: Optional[int] = None

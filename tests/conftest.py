@@ -30,6 +30,15 @@ if not os.environ.get("PLDEPTH_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache: full train-step compiles take minutes on
+# this 1-core host and dominate suite wall time; unchanged computations hit
+# the disk cache on re-runs. Keyed by HLO+platform, so CPU/TPU coexist.
+_cache_dir = os.environ.get(
+    "PLDEPTH_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

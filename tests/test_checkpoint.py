@@ -25,7 +25,13 @@ def trained():
         rankings_per_image=8, sampling_type=1, freeze_encoder=False,
         compute_dtype="float32", listmle_impl="xla", initial_lr=3e-4,
     )
-    trainer = Trainer(cfg, steps_per_epoch=1)
+    # 1-device mesh: checkpoint semantics are mesh-independent and a full
+    # train-step compile on the 8-way virtual mesh costs minutes here
+    from pldepth_tpu.core.mesh import make_mesh
+
+    trainer = Trainer(
+        cfg, steps_per_epoch=1, mesh=make_mesh(devices=jax.devices()[:1])
+    )
     state = trainer.init_state()
     ds = SyntheticDepthDataset(n=8, image_size=S, seed=0)
     it = BatchIterator(ds, cfg.batch_size, seed=0)

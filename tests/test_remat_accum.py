@@ -50,7 +50,13 @@ def test_grad_accum_updates_every_k_steps():
         compute_dtype="float32", listmle_impl="xla", initial_lr=1e-3,
         grad_accum=2,
     )
-    trainer = Trainer(cfg, steps_per_epoch=1)
+    # 1-device mesh: accumulation semantics are mesh-independent (compile
+    # cost, see test_trainer_e2e.mesh1)
+    from pldepth_tpu.core.mesh import make_mesh
+
+    trainer = Trainer(
+        cfg, steps_per_epoch=1, mesh=make_mesh(devices=jax.devices()[:1])
+    )
     state = trainer.init_state()
     ds = SyntheticDepthDataset(n=8, image_size=S, seed=0)
     it = BatchIterator(ds, cfg.batch_size, seed=0)

@@ -8,6 +8,7 @@ import pytest
 pytestmark = pytest.mark.slow
 
 from pldepth_tpu.core.config import ExperimentConfig, MeshConfig
+from pldepth_tpu.core.mesh import make_mesh
 from pldepth_tpu.data import (
     BatchIterator,
     SyntheticDepthDataset,
@@ -17,6 +18,16 @@ from pldepth_tpu.data import (
 from pldepth_tpu.train import Trainer
 
 S = 64
+
+
+def mesh1():
+    """1-device mesh for tests whose behavior is mesh-independent: a full
+    train-step compile on the 8-way virtual mesh costs minutes on this
+    1-core host; SPMD itself is covered by the loss-decrease and sharding
+    tests below plus the driver's dryrun_multichip."""
+    import jax as _jax
+
+    return make_mesh(devices=_jax.devices()[:1])
 
 
 def tiny_cfg(**kw):
@@ -64,7 +75,7 @@ def test_train_step_runs_and_loss_decreases(ds):
 
 def test_fit_loop_with_validation(ds):
     cfg = tiny_cfg(epochs=2)
-    trainer = Trainer(cfg, steps_per_epoch=2)
+    trainer = Trainer(cfg, steps_per_epoch=2, mesh=mesh1())
     state = trainer.init_state()
     it = BatchIterator(ds, cfg.batch_size, seed=1)
     rankings = pregenerate_val_rankings(
@@ -87,7 +98,7 @@ def test_fit_loop_with_validation(ds):
 
 def test_frozen_encoder_params_do_not_move(ds):
     cfg = tiny_cfg(freeze_encoder=True)
-    trainer = Trainer(cfg, steps_per_epoch=1)
+    trainer = Trainer(cfg, steps_per_epoch=1, mesh=mesh1())
     state = trainer.init_state()
     before = jax.device_get(
         state.params["encoder"]["stem_conv"]["kernel"]
@@ -121,8 +132,9 @@ def test_batch_is_sharded_over_data_axis(ds):
 
 def test_determinism_same_seed_same_first_loss(ds):
     cfg = tiny_cfg(augmentation=False)
-    t1 = Trainer(cfg, steps_per_epoch=1)
-    t2 = Trainer(cfg, steps_per_epoch=1)
+    m = mesh1()
+    t1 = Trainer(cfg, steps_per_epoch=1, mesh=m)
+    t2 = Trainer(cfg, steps_per_epoch=1, mesh=m)
     it = BatchIterator(ds, cfg.batch_size, seed=0, shuffle=False)
     batch = next(it)
     it.close()
