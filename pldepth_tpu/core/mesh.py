@@ -33,6 +33,33 @@ def make_mesh(
     return Mesh(dev_array, axis_names=cfg.axis_names)
 
 
+def warmup_collectives(mesh: Mesh) -> float:
+    """Run one tiny all-device reduction to establish collective contexts.
+
+    Multi-process backends create their cross-process communicator lazily at
+    the first collective, with a bounded key-exchange deadline (Gloo on CPU:
+    30s). If the first collective sits *after* a minutes-long train-step
+    compile, processes can drift past that deadline and the context setup
+    times out. Calling this right after ``jax.distributed.initialize`` —
+    while processes are still in lockstep — creates and caches the context
+    in seconds. No-op-cheap on single process. Returns the reduced value
+    (= the data-axis length) so callers can sanity-check participation.
+    """
+    spec = P(mesh.axis_names[0])
+    rows = mesh.shape[mesh.axis_names[0]]
+    if jax.process_count() > 1:
+        # assumes the data axis divides evenly over processes (the layout
+        # make_mesh produces from jax.devices() ordering)
+        local = np.ones((rows // jax.process_count(),), np.float32)
+        arr = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), local
+        )
+    else:
+        arr = jax.device_put(np.ones((rows,), np.float32), NamedSharding(mesh, spec))
+    total = jax.jit(lambda x: x.sum(), out_shardings=NamedSharding(mesh, P()))(arr)
+    return float(jax.device_get(total))
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard leading (batch) dim over the data axis, replicate the rest."""
     spec = P(mesh.axis_names[0], *([None] * (ndim - 1)))

@@ -140,6 +140,24 @@ class Trainer:
 
     def replicate(self, tree):
         sharding = NamedSharding(self.mesh, P())
+        if jax.process_count() > 1:
+            # device_put cannot target non-addressable devices; assemble the
+            # replicated global array from identical per-process copies
+            # (init is seeded, so every process computed the same values)
+            def put(x):
+                x = jnp.asarray(x)
+                if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+                    data = jax.make_array_from_process_local_data(
+                        sharding, np.asarray(jax.random.key_data(x))
+                    )
+                    return jax.random.wrap_key_data(
+                        data, impl=jax.random.key_impl(x)
+                    )
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)
+                )
+
+            return jax.tree_util.tree_map(put, tree)
         return jax.device_put(tree, sharding)
 
     def shard_batch(self, batch: Dict[str, np.ndarray]):
