@@ -243,6 +243,23 @@ def train(pack_cache="", **kw):
         ndcg = evaluator.dcg_metric(val_ds, limit=limit)
         logger.set_summary(test_error=err, ndcg_200=ndcg)
         click.echo(json.dumps({"test_error": err, "ndcg_200": ndcg}))
+        # example-image logging (reference PLDepth.py:196-209: input / gt /
+        # predicted depth of one val image)
+        ex = val_ds[min(10, len(val_ds) - 1)]
+        import jax as _jax
+        import numpy as _np
+
+        pred = _np.asarray(
+            _jax.jit(trainer.predict)(state, _np.asarray(ex["image"])[None])
+        )[0]
+        logger.log_images(
+            {"ex_img": ex["image"], "ex_gt": ex["gt"], "ex_pred": pred},
+            captions={
+                "ex_img": "input image",
+                "ex_gt": "input ground truth",
+                "ex_pred": "predicted depth",
+            },
+        )
     logger.close()
 
 

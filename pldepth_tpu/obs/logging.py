@@ -79,6 +79,38 @@ class MetricLogger:
             for k, v in kwargs.items():
                 self._wandb.summary[k] = v
 
+    def log_images(self, images: Dict[str, Any], captions: Optional[Dict[str, str]] = None):
+        """Example-image logging (reference PLDepth.py:196-209: wandb.Image
+        of input / gt / predicted depth at train end).
+
+        Always writes PNGs under ``<run>/examples/`` (grayscale maps are
+        min-max scaled to u8; RGB passes through); forwards to wandb when
+        active. Values: (H, W) float maps or (H, W, 3) images in [0, 1].
+        """
+        import numpy as np
+
+        ex_dir = os.path.join(self.dir, "examples")
+        os.makedirs(ex_dir, exist_ok=True)
+        captions = captions or {}
+        for name, arr in images.items():
+            a = np.squeeze(np.asarray(arr)).astype(np.float64)
+            lo, hi = float(a.min()), float(a.max())
+            u8 = np.zeros_like(a, np.uint8) if hi - lo < 1e-12 else (
+                (a - lo) * 255.0 / (hi - lo)
+            ).astype(np.uint8)
+            try:
+                from PIL import Image
+
+                Image.fromarray(u8).save(os.path.join(ex_dir, f"{name}.png"))
+            except Exception as e:  # pragma: no cover
+                log.warning("could not write example image %s: %s", name, e)
+            if self._wandb is not None:  # pragma: no cover
+                import wandb  # type: ignore
+
+                self._wandb.log(
+                    {name: wandb.Image(np.asarray(arr), caption=captions.get(name, name))}
+                )
+
     def close(self):
         self._jsonl.close()
         if self._csv_file:

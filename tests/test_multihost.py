@@ -20,6 +20,13 @@ pytestmark = pytest.mark.slow
 _CHILD = os.path.join(os.path.dirname(__file__), "helpers", "multihost_child.py")
 
 
+def test_warmup_collectives_single_process():
+    """Single-process path: returns the data-axis length (8 virtual devs)."""
+    from pldepth_tpu.core.mesh import make_mesh, warmup_collectives
+
+    assert warmup_collectives(make_mesh()) == 8.0
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))

@@ -31,3 +31,25 @@ def test_append_across_sessions(tmp_path):
         lg.close()
     with open(tmp_path / "runB" / "metrics.jsonl") as f:
         assert len(f.readlines()) == 2
+
+
+def test_log_images_writes_pngs(tmp_path):
+    import numpy as np
+
+    lg = MetricLogger(str(tmp_path), "runC")
+    rng = np.random.default_rng(0)
+    lg.log_images(
+        {
+            "ex_img": rng.random((16, 16, 3)).astype(np.float32),
+            "ex_pred": rng.random((16, 16)).astype(np.float32),
+            "ex_flat": np.zeros((16, 16), np.float32),  # constant map guard
+        }
+    )
+    lg.close()
+    ex = tmp_path / "runC" / "examples"
+    assert sorted(p.name for p in ex.iterdir()) == [
+        "ex_flat.png", "ex_img.png", "ex_pred.png",
+    ]
+    from PIL import Image
+
+    assert Image.open(ex / "ex_pred.png").size == (16, 16)
