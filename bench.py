@@ -43,7 +43,7 @@ def main() -> None:
         model_name=os.environ.get("BENCH_MODEL", "ff_effnet"),
         input_size=image_size,
         batch_size=batch,
-        ranking_size=5,
+        ranking_size=int(os.environ.get("BENCH_K", 5)),
         rankings_per_image=100,
         sampling_type=1,  # info-score
         freeze_encoder=False,
@@ -223,7 +223,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"train images/sec/chip ({cfg.model_name}@{image_size}^2, K=5, info-score)",
+                "metric": f"train images/sec/chip ({cfg.model_name}@{image_size}^2, K={cfg.ranking_size}, info-score)",
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / baseline, 2),

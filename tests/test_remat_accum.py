@@ -37,8 +37,12 @@ def test_remat_model_matches_plain():
     def loss(module, vars_, x):
         return module.apply(vars_, x, False).sum()
 
-    g1 = jax.grad(lambda p: loss(plain.module, {**v, "params": p}, x))(v["params"])
-    g2 = jax.grad(lambda p: loss(remat.module, {**v2, "params": p}, x))(v2["params"])
+    g1 = jax.jit(jax.grad(lambda p: loss(plain.module, {**v, "params": p}, x)))(
+        v["params"]
+    )
+    g2 = jax.jit(jax.grad(lambda p: loss(remat.module, {**v2, "params": p}, x)))(
+        v2["params"]
+    )
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 

@@ -63,12 +63,16 @@ def test_sparse_equals_dense_forward_and_stats(rng, name):
         pixels = _corner_and_random_pixels(rng, 2, S, S, 40)
         rngs = {"droppath": jax.random.key(1)}
 
-        dense, dstats = model.module.apply(
-            variables, x, True, rngs=rngs, mutable=["batch_stats"]
-        )
-        sparse, sstats = model.module.apply(
-            variables, x, True, pixels, rngs=rngs, mutable=["batch_stats"]
-        )
+        dense, dstats = jax.jit(
+            lambda v, xx: model.module.apply(
+                v, xx, True, rngs=rngs, mutable=["batch_stats"]
+            )
+        )(variables, x)
+        sparse, sstats = jax.jit(
+            lambda v, xx, px: model.module.apply(
+                v, xx, True, px, rngs=rngs, mutable=["batch_stats"]
+            )
+        )(variables, x, pixels)
         flat = (pixels[..., 0] * S + pixels[..., 1]).astype(jnp.int32)
         want = jnp.take_along_axis(dense.reshape(2, -1), flat, axis=1)
         np.testing.assert_allclose(
@@ -116,8 +120,9 @@ def test_sparse_equals_dense_gradients(rng):
             )
             return pl_ranking_loss_from_scores(scores, rankings, impl="xla")
 
-        ld, gd = jax.value_and_grad(dense_loss)(params)
-        ls, gs = jax.value_and_grad(sparse_loss)(params)
+        # jitted: one cached compile instead of minutes of op-by-op dispatch
+        ld, gd = jax.jit(jax.value_and_grad(dense_loss))(params)
+        ls, gs = jax.jit(jax.value_and_grad(sparse_loss))(params)
         np.testing.assert_allclose(float(ld), float(ls), rtol=1e-5)
 
         leaves_d, treedef = jax.tree_util.tree_flatten(gd)
