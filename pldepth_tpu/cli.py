@@ -137,6 +137,21 @@ def cli():
         level=os.environ.get("PLDEPTH_LOG", "INFO"),
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+    # Persistent compilation cache: a 448^2 train-step compile takes minutes;
+    # identical re-runs (restarts, sweeps, eval-after-train) hit disk instead.
+    # Opt out with PLDEPTH_JAX_CACHE=0.
+    cache = os.environ.get(
+        "PLDEPTH_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "pldepth_tpu", "jax"),
+    )
+    if cache and cache != "0":
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+        except Exception as e:  # pragma: no cover
+            logging.getLogger(__name__).warning("compilation cache off: %s", e)
 
 
 @cli.command()

@@ -13,8 +13,7 @@ hr_wsi.py:65-78).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -20,7 +20,7 @@ import logging
 import os
 import struct
 import subprocess
-from typing import Dict, Iterator, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

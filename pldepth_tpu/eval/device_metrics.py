@@ -18,7 +18,7 @@ exact — tests inject identical indices into both paths and assert equality.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

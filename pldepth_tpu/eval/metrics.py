@@ -11,7 +11,7 @@ numbers against the reference implementation.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

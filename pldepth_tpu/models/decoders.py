@@ -21,7 +21,6 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from pldepth_tpu.ops.resize import upsample2x_bilinear

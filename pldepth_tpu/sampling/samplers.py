@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
