@@ -67,6 +67,10 @@ class ExperimentConfig:
     val_rankings_per_img: Optional[int] = None  # defaults to rankings_per_image
     val_split_denom: int = 15  # reference: take(ds_size//15) as val
     oversample_factor: int = 5  # sampler candidate multiplier (bs_factor)
+    # Masked pixel-draw strategy: auto | compact | rejection. "auto" =
+    # argsort compaction — measured fastest in-step at every config
+    # (docs/BENCH.md); rejection kept for ablation.
+    sampler_draw_method: str = "auto"
     shuffle_buffer: int = 1024
     prefetch_depth: int = 2
 

@@ -85,27 +85,41 @@ def get_sampler(name: str) -> SamplerSpec:
     return SAMPLERS[name]
 
 
-def _masked_uniform_points(key, mask_flat, n_points):
+def _masked_uniform_points(key, mask_flat, n_points, method: str = "auto"):
     """Draw ``n_points`` flat indices uniformly from mask>0.
 
     Equivalent to the reference's uniform choice over ``np.where(mask > 0)``
-    coordinates (sampling.py:113), but as a *rank-scatter compaction*: valid
-    pixels are written to their rank position (one O(HW) scatter), then
-    draws are plain integer gathers. This replaced an inverse-CDF
-    ``searchsorted`` that XLA lowered to ~18 GB of memory traffic per batch
-    (~17 ms/step at the bench config — 15% of the whole train step); the
-    compaction form costs ~MBs. Empty masks fall back to uniform over all
-    pixels.
+    coordinates (sampling.py:113). Two fixed-shape device strategies:
+
+    * ``compact`` (default) — argsort compaction: one stable O(HW) sort of
+      the invalid flags lists the valid pixel indices first, then each point
+      is a single integer gather. TPU random gathers cost ~10 ns/element
+      (profiled), so the flat per-image sort beats per-point gather bills at
+      every measured config: full-step 105.7 vs 113.3 ms at K=5 and 122.5
+      vs 187.8 ms at K=25 (docs/BENCH.md).
+    * ``rejection`` — R=16 candidate draws per point, keep the first valid
+      (16 boolean gathers/point, zero per-image setup; miss prob (1-f)^16
+      < 0.4% even at valid fraction 0.3, stragglers take the first valid
+      pixel). Kept selectable for ablation.
+
+    Empty masks fall back to uniform over all pixels. Methods were chosen
+    by FULL-STEP measurement, not standalone op timing (docs/BENCH.md
+    "methodology warnings"); a rank-scatter compaction variant lowered to
+    sort + a 31 ms serial scatter fusion in-step and was dropped.
     """
     hw = mask_flat.shape[0]
     valid = mask_flat > 0
     valid = jnp.where(jnp.any(valid), valid, jnp.ones_like(valid))
-    # fixed-round vectorized rejection: R candidate draws per point, keep the
-    # first that lands on a valid pixel. No cumsum/scatter/search — just R
-    # gathers (cheapest lowering on TPU; batched scatters serialize and
-    # searchsorted cost ~18 GB of traffic here). With valid fraction f the
-    # miss probability is (1-f)^R: <0.4% even at f=0.3; stragglers take the
-    # first valid pixel (negligible, bounded bias).
+    if method == "auto":
+        method = "compact"
+
+    if method == "compact":
+        n_valid = jnp.sum(valid.astype(jnp.int32))
+        compact = jnp.argsort(~valid, stable=True).astype(jnp.int32)
+        u = jax.random.uniform(key, (n_points,))
+        draw = jnp.minimum((u * n_valid).astype(jnp.int32), n_valid - 1)
+        return compact[draw]
+
     rounds = 16
     cands = jax.random.randint(key, (rounds, n_points), 0, hw)
     ok = valid[cands]  # (R, n)
@@ -185,7 +199,7 @@ def _score_lists(name, sorted_depths, gt_min, gt_max, threshold):
 
 @functools.partial(
     jax.jit, static_argnames=("sampler_name", "rankings_per_image", "ranking_size",
-                              "oversample_factor")
+                              "oversample_factor", "draw_method")
 )
 def sample_rankings(
     key: jax.Array,
@@ -197,6 +211,7 @@ def sample_rankings(
     ranking_size: int,
     threshold: float = 0.03,
     oversample_factor: float | None = None,
+    draw_method: str = "auto",
 ) -> jax.Array:
     """Sample (RPI, K, 2) rankings [flat_pixel_idx, gt_depth] for one image.
 
@@ -223,7 +238,7 @@ def sample_rankings(
         depths = gt.reshape(-1)[gidx.reshape(-1)]
         flat = gidx.reshape(-1).astype(jnp.float32)
     else:
-        midx = _masked_uniform_points(key, mask.reshape(-1), n_cand * k)
+        midx = _masked_uniform_points(key, mask.reshape(-1), n_cand * k, draw_method)
         mx, my = midx // wm, midx % wm
         # mask-space -> gt/image-space (truncating scale, reference int() cast)
         gx = jnp.minimum((mx * hg) // hm, hg - 1)

@@ -224,6 +224,7 @@ class Trainer:
                     oversample_factor=float(cfg.oversample_factor)
                     if self.sampler_name != "purely_masked"
                     else 1.0,
+                    draw_method=cfg.sampler_draw_method,
                 )
             x = normalize_images(images, model.preprocess)
 

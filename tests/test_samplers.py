@@ -20,14 +20,16 @@ def make_image(rng, mask_frac=0.6):
     return jnp.array(gt), jnp.array(mask)
 
 
+@pytest.mark.parametrize("draw_method", ["rejection", "compact"])
 @pytest.mark.parametrize(
     "name", ["purely_masked", "masked", "thresholded", "info_score"]
 )
-def test_shapes_and_mask_adherence(name, rng):
+def test_shapes_and_mask_adherence(name, draw_method, rng):
     gt, mask = make_image(rng)
     out = sample_rankings(
         jax.random.key(0), gt, mask,
         sampler_name=name, rankings_per_image=RPI, ranking_size=K,
+        draw_method=draw_method,
     )
     out = np.asarray(out)
     assert out.shape == (RPI, K, 2)
@@ -38,6 +40,29 @@ def test_shapes_and_mask_adherence(name, rng):
     # stored depth must equal gt at the stored flat index
     gt_np = np.asarray(gt).reshape(-1)
     np.testing.assert_allclose(out[..., 1], gt_np[idx], rtol=1e-6)
+
+
+def test_compact_draw_is_uniform_over_valid(rng):
+    """The compaction draw must cover valid pixels ~uniformly (chi2 sanity),
+    exactly like the rejection draw semantics it substitutes for."""
+    from pldepth_tpu.sampling.samplers import _masked_uniform_points
+
+    hw = 512
+    mask = (rng.uniform(size=hw) < 0.5).astype(np.float32)
+    mask[0] = 1.0
+    n_valid = int((mask > 0).sum())
+    n = 200_000
+    draws = np.asarray(
+        _masked_uniform_points(
+            jax.random.key(3), jnp.asarray(mask), n, "compact"
+        )
+    )
+    assert np.all(mask[draws] > 0)
+    counts = np.bincount(draws, minlength=hw)[mask > 0]
+    expected = n / n_valid
+    chi2 = float(((counts - expected) ** 2 / expected).sum())
+    # dof = n_valid - 1 ~ 255; mean 255, sd ~22.6 -> 6 sigma ~ 391
+    assert chi2 < 400, chi2
 
 
 @pytest.mark.parametrize(
