@@ -86,6 +86,7 @@ struct Prefetcher {
   int workers = 1;
 
   bool u8 = false;  // emit u8 images/masks (4x less host->device traffic)
+  uint64_t start_batch = 0;  // skip this many batches of the stream (resume)
 
   std::thread thread;
   std::mutex mu;
@@ -158,10 +159,21 @@ void prefetch_loop(Prefetcher* p) {
   std::vector<uint32_t> order(r->n);
   for (uint32_t i = 0; i < r->n; ++i) order[i] = i;
 
+  // Resume support: the rng is seeded, so replaying epoch shuffles from 0 is
+  // deterministic; skipped batches are never decoded, only their permutation
+  // entries are advanced past.
+  uint64_t skip = p->start_batch;
   while (!p->stop.load()) {
     if (p->shuffle) std::shuffle(order.begin(), order.end(), rng);
     uint32_t n_batches = r->n / p->batch;
-    for (uint32_t bi = 0; bi < n_batches && !p->stop.load(); ++bi) {
+    if (skip >= n_batches) {
+      skip -= n_batches;
+      if (!p->loop) break;
+      continue;
+    }
+    uint32_t bi0 = (uint32_t)skip;
+    skip = 0;
+    for (uint32_t bi = bi0; bi < n_batches && !p->stop.load(); ++bi) {
       Batch* out = new Batch;
       out->gt.resize((size_t)p->batch * hw);
       if (p->u8) {
@@ -266,7 +278,8 @@ void packio_get_batch(void* handle, const uint32_t* indices, uint32_t batch,
 
 void* packio_prefetch_start(void* handle, uint32_t batch, uint64_t seed,
                             int shuffle, int loop, int workers,
-                            uint32_t ring_capacity, int u8_mode) {
+                            uint32_t ring_capacity, int u8_mode,
+                            uint64_t start_batch) {
   Prefetcher* p = new Prefetcher;
   p->reader = static_cast<Reader*>(handle);
   p->batch = batch;
@@ -276,6 +289,7 @@ void* packio_prefetch_start(void* handle, uint32_t batch, uint64_t seed,
   p->workers = workers;
   p->capacity = ring_capacity ? ring_capacity : 2;
   p->u8 = u8_mode != 0;
+  p->start_batch = start_batch;
   p->thread = std::thread(prefetch_loop, p);
   return p;
 }

@@ -86,6 +86,15 @@ def _reference_options(f):
                      help="JSON file with config overrides (applied before "
                           "CLI flags; reference ModelParameters"
                           ".load_parameters_from_file, models_meta.py:51-65)"),
+        click.option("--run_name", default="",
+                     help="run directory name under --output_dir (default: "
+                          "timestamped); set a fixed name to make the run "
+                          "resumable"),
+        click.option("--resume", default=False, type=click.BOOL,
+                     help="restore the latest full-state checkpoint under "
+                          "<output_dir>/<run_name>/autockpt and continue "
+                          "bit-compatibly (data stream, per-step RNG and LR "
+                          "schedule all fast-forward to the saved step)"),
     ]
     for o in reversed(opts):
         f = o(f)
@@ -156,7 +165,7 @@ def cli():
 
 @cli.command()
 @_reference_options
-def train(pack_cache="", **kw):
+def train(pack_cache="", run_name="", resume=False, **kw):
     """Main training experiment (reference perform_pldepth_experiment)."""
     import jax
 
@@ -171,7 +180,10 @@ def train(pack_cache="", **kw):
     )
 
     cfg = _make_config(kw)
-    run_name = time.strftime("%d%m%y-%H%M%S") + f"_s{cfg.sampling_type}"
+    if resume and not run_name:
+        raise click.UsageError("--resume needs a fixed --run_name")
+    if not run_name:
+        run_name = time.strftime("%d%m%y-%H%M%S") + f"_s{cfg.sampling_type}"
     logger = MetricLogger(cfg.output_dir, run_name, cfg.to_dict(), cfg.use_wandb)
 
     train_ds, val_ds = _load_data(cfg)
@@ -181,15 +193,32 @@ def train(pack_cache="", **kw):
     if cfg.load_model_path:
         state = load_weights_npz(cfg.load_model_path, state)
 
+    # Resumable full-state checkpoints, labeled by global step (one per epoch
+    # + one on SIGTERM/preemption; Trainer.fit ckpt=...). Separate from the
+    # best-by-val manager below, which keeps reference epoch-labeled
+    # save_best_only semantics.
+    auto_ckpt = CheckpointManager(
+        os.path.join(logger.dir, "autockpt"), keep=cfg.keep_checkpoints
+    )
+    start_step = 0
+    if resume and auto_ckpt.latest_step() is not None:
+        state = trainer.replicate(auto_ckpt.restore(state))
+        start_step = int(jax.device_get(state.step))
+        click.echo(f"resumed from step {start_step}")
+
     if pack_cache:
         from pldepth_tpu.data.packed import NativePackedIterator, pack_dataset
 
         if not os.path.exists(pack_cache):
             click.echo(f"packing {len(train_ds)} samples -> {pack_cache}")
             pack_dataset(train_ds, pack_cache)
-        train_iter = NativePackedIterator(pack_cache, cfg.batch_size, seed=cfg.seed)
+        train_iter = NativePackedIterator(
+            pack_cache, cfg.batch_size, seed=cfg.seed, start_step=start_step
+        )
     else:
-        train_iter = BatchIterator(train_ds, cfg.batch_size, seed=cfg.seed)
+        train_iter = BatchIterator(
+            train_ds, cfg.batch_size, seed=cfg.seed, start_step=start_step
+        )
     vfac = None
     if len(val_ds) >= cfg.batch_size:
         # pre-generated fixed val rankings with the thresholded sampler
@@ -242,9 +271,17 @@ def train(pack_cache="", **kw):
             _jax.block_until_ready(state)
 
     state, history = trainer.fit(
-        state, train_iter, val_iter_factory=vfac, callbacks=[LogCB()]
+        state, train_iter, val_iter_factory=vfac, callbacks=[LogCB()],
+        ckpt=auto_ckpt,
     )
     train_iter.close()
+    auto_ckpt.close()
+    if history.get("preempted"):
+        click.echo(
+            f"preempted — resume with: --run_name {run_name} --resume true"
+        )
+        logger.close()
+        return
 
     weights_path = os.path.join(logger.dir, "weights.npz")
     save_weights_npz(weights_path, state)

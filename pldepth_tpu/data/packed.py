@@ -83,6 +83,7 @@ def _load_lib():
     lib.packio_prefetch_start.argtypes = [
         ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint32, ctypes.c_int,
+        ctypes.c_uint64,
     ]
     lib.packio_prefetch_next.restype = ctypes.c_int
     lib.packio_prefetch_next.argtypes = [
@@ -169,9 +170,12 @@ class NativePackedIterator:
         workers: Optional[int] = None,
         ring: int = 2,
         uint8_wire: bool = True,
+        start_step: int = 0,
     ):
         """``uint8_wire``: emit images/masks as uint8 (gt stays f32). 4x less
-        host->device transfer; the Trainer rescales on device."""
+        host->device transfer; the Trainer rescales on device.
+        ``start_step``: skip the first N batches of the deterministic stream
+        (resume; skipped batches are never decoded)."""
         if workers is None:
             workers = max(1, (os.cpu_count() or 1) - 1)
         self.uint8_wire = uint8_wire
@@ -194,7 +198,7 @@ class NativePackedIterator:
         self.batch_size = batch_size
         self._pf = lib.packio_prefetch_start(
             self._h_reader, batch_size, seed, int(shuffle), int(loop), workers,
-            ring, int(uint8_wire),
+            ring, int(uint8_wire), int(start_step),
         )
 
     def __iter__(self):

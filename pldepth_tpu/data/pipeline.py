@@ -40,6 +40,13 @@ class BatchIterator:
 
     drop_remainder semantics like the reference's ``.batch(batch_size,
     drop_remainder=True)`` (hourglass_provider.py:60-62): fixed shapes only.
+
+    The batch stream is a pure function of (dataset, seed, shuffle, shard,
+    batch_size): epoch ``e``'s permutation is drawn from a fresh
+    ``default_rng((seed, e))``, so ``start_step=k`` resumes the exact stream
+    at batch ``k`` without replaying decodes — the basis of deterministic
+    checkpoint/resume (train/trainer.py fit; the reference had no resumable
+    input pipeline, SURVEY.md §5).
     """
 
     def __init__(
@@ -52,11 +59,13 @@ class BatchIterator:
         loop: bool = True,
         shard_index: int = 0,
         num_shards: int = 1,
+        start_step: int = 0,
     ):
         """``shard_index``/``num_shards``: multi-host data sharding — each
         host draws the same seeded epoch permutation and takes a disjoint
         stride of it, so per-host batches form one coherent global batch
-        (process i feeds its addressable devices under jax.distributed)."""
+        (process i feeds its addressable devices under jax.distributed).
+        ``start_step``: skip the first N batches of the stream (resume)."""
         if len(ds) < batch_size * num_shards:
             raise ValueError(
                 f"dataset of {len(ds)} samples cannot fill batch "
@@ -64,28 +73,36 @@ class BatchIterator:
             )
         self.ds = ds
         self.batch_size = batch_size
+        self.seed = seed
         self.shuffle = shuffle
         self.loop = loop
         self.shard_index = shard_index
         self.num_shards = num_shards
-        self.rng = np.random.default_rng(seed)
+        self.start_step = start_step
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._stopped = False
         self._thread.start()
 
     def _index_stream(self):
+        epoch = 0
+        skip = self.start_step
         while True:
             idx = np.arange(len(self.ds))
             if self.shuffle:
-                self.rng.shuffle(idx)
+                np.random.default_rng((self.seed, epoch)).shuffle(idx)
             if self.num_shards > 1:
                 idx = idx[self.shard_index :: self.num_shards]
             n_batches = len(idx) // self.batch_size
-            for b in range(n_batches):
-                yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if skip >= n_batches:
+                skip -= n_batches
+            else:
+                for b in range(skip, n_batches):
+                    yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+                skip = 0
             if not self.loop:
                 return
+            epoch += 1
 
     def _producer(self):
         try:

@@ -26,7 +26,10 @@ TPU-first design:
 
 from __future__ import annotations
 
+import contextlib
 import logging
+import signal
+import threading
 import time
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
@@ -84,6 +87,7 @@ class Trainer:
         self._train_step = None
         self._train_step_fixed = None
         self._eval_step = None
+        self._stop_requested = False
 
     # ------------------------------------------------------------------
     # state
@@ -359,6 +363,31 @@ class Trainer:
     # ------------------------------------------------------------------
     # loops
     # ------------------------------------------------------------------
+    def request_stop(self) -> None:
+        """Ask fit() to stop at the next step boundary (checkpoint first if a
+        ``ckpt`` manager was given). Called by the SIGTERM handler on TPU
+        preemption notice; safe to call from callbacks or other threads."""
+        self._stop_requested = True
+
+    @contextlib.contextmanager
+    def _preemption_guard(self):
+        """Route SIGTERM to request_stop() for the duration of fit().
+
+        The reference had no preemption handling (SURVEY.md §5); here a
+        preempted run checkpoints full state at the step boundary and the
+        CLI's --resume continues it bit-compatibly."""
+        if threading.current_thread() is not threading.main_thread():
+            yield
+            return
+        def handler(signum, frame):
+            log.warning("SIGTERM received — stopping at next step boundary")
+            self.request_stop()
+        prev = signal.signal(signal.SIGTERM, handler)
+        try:
+            yield
+        finally:
+            signal.signal(signal.SIGTERM, prev)
+
     def fit(
         self,
         state: TrainState,
@@ -366,56 +395,91 @@ class Trainer:
         epochs: Optional[int] = None,
         val_iter_factory: Optional[Callable[[], Iterator[Dict[str, np.ndarray]]]] = None,
         callbacks=(),
+        ckpt=None,
     ) -> Tuple[TrainState, Dict[str, list]]:
+        """Run the train loop.
+
+        ``ckpt``: optional CheckpointManager for resumable full-state saves,
+        labeled by *global step*: one per epoch plus one on request_stop()/
+        SIGTERM. Resume is driven by ``state.step``: a state restored from
+        such a checkpoint continues mid-epoch, and the caller constructs the
+        train_iter with ``start_step=state.step`` so the data stream,
+        the per-step RNG (fold_in(rng_root, step)) and the LR schedule all
+        line up with the uninterrupted run.
+        """
         epochs = epochs if epochs is not None else self.cfg.epochs
         history: Dict[str, list] = {"loss": [], "val_loss": [], "lr": [], "ips": []}
+        start_step = int(jax.device_get(state.step))
+        start_epoch = start_step // self.steps_per_epoch
+        offset = start_step % self.steps_per_epoch
+        if start_step:
+            log.info("resuming at step %d (epoch %d + %d steps)",
+                     start_step, start_epoch, offset)
+        preempted = False
         for cb in callbacks:
             cb.on_train_begin(self)
-        next_batch = self.shard_batch(next(train_iter))
-        for epoch in range(epochs):
-            t0 = time.time()
-            losses = []
-            last_lr = float("nan")
-            for step_i in range(self.steps_per_epoch):
-                batch = next_batch
-                state, metrics = self.train_step(state, batch)
-                # overlap the next host fetch + H2D transfer with the step
-                next_batch = self.shard_batch(next(train_iter))
-                losses.append(metrics.loss)
-                last_lr = metrics.lr
-                # Bound in-flight steps: the remote-TPU transport has been
-                # observed to wedge with many queued executions + transfers;
-                # a 2-deep window still overlaps host feed with device work.
-                if len(losses) >= 2:
-                    losses[-2].block_until_ready()
-            losses = [float(x) for x in jax.device_get(losses)]
-            finite = all(np.isfinite(losses))
-            dt = time.time() - t0
-            ips = self.steps_per_epoch * self.cfg.batch_size / dt
-            epoch_loss = float(np.mean(losses))
-            history["loss"].append(epoch_loss)
-            history["lr"].append(float(last_lr))
-            history["ips"].append(ips)
+        with self._preemption_guard():
+            next_batch = self.shard_batch(next(train_iter))
+            for epoch in range(start_epoch, epochs):
+                t0 = time.time()
+                losses = []
+                last_lr = float("nan")
+                first = offset if epoch == start_epoch else 0
+                for step_i in range(first, self.steps_per_epoch):
+                    batch = next_batch
+                    state, metrics = self.train_step(state, batch)
+                    # overlap the next host fetch + H2D transfer with the step
+                    next_batch = self.shard_batch(next(train_iter))
+                    losses.append(metrics.loss)
+                    last_lr = metrics.lr
+                    # Bound in-flight steps: the remote-TPU transport has been
+                    # observed to wedge with many queued executions + transfers;
+                    # a 2-deep window still overlaps host feed with device work.
+                    if len(losses) >= 2:
+                        losses[-2].block_until_ready()
+                    if self._stop_requested:
+                        preempted = True
+                        break
+                n_steps = len(losses)
+                losses = [float(x) for x in jax.device_get(losses)]
+                finite = all(np.isfinite(losses))
+                dt = time.time() - t0
+                ips = n_steps * self.cfg.batch_size / dt
+                epoch_loss = float(np.mean(losses)) if losses else float("nan")
+                history["loss"].append(epoch_loss)
+                history["lr"].append(float(last_lr))
+                history["ips"].append(ips)
 
-            val_loss = None
-            if val_iter_factory is not None:
-                vlosses = [
-                    float(self.eval_step(state, self.shard_batch(vb)))
-                    for vb in val_iter_factory()
-                ]
-                val_loss = float(np.mean(vlosses)) if vlosses else float("nan")
-                history["val_loss"].append(val_loss)
+                if preempted:
+                    if ckpt is not None:
+                        step_now = int(jax.device_get(state.step))
+                        ckpt.save(step_now, state, force=True)
+                        log.warning("preemption checkpoint saved at step %d", step_now)
+                    history["preempted"] = True
+                    break
 
-            log.info(
-                "epoch %d loss=%.4f val=%s ips=%.1f lr=%.5f",
-                epoch, epoch_loss, f"{val_loss:.4f}" if val_loss is not None else "-",
-                ips, history["lr"][-1],
-            )
-            for cb in callbacks:
-                cb.on_epoch_end(self, state, epoch, history)
-            if not finite:
-                log.error("non-finite loss at epoch %d — terminating (NaN guard)", epoch)
-                break
+                val_loss = None
+                if val_iter_factory is not None:
+                    vlosses = [
+                        float(self.eval_step(state, self.shard_batch(vb)))
+                        for vb in val_iter_factory()
+                    ]
+                    val_loss = float(np.mean(vlosses)) if vlosses else float("nan")
+                    history["val_loss"].append(val_loss)
+
+                log.info(
+                    "epoch %d loss=%.4f val=%s ips=%.1f lr=%.5f",
+                    epoch, epoch_loss, f"{val_loss:.4f}" if val_loss is not None else "-",
+                    ips, history["lr"][-1],
+                )
+                if ckpt is not None:
+                    ckpt.save(int(jax.device_get(state.step)), state)
+                for cb in callbacks:
+                    cb.on_epoch_end(self, state, epoch, history)
+                if not finite:
+                    log.error("non-finite loss at epoch %d — terminating (NaN guard)", epoch)
+                    break
+        self._stop_requested = False
         for cb in callbacks:
             cb.on_train_end(self, state, history)
         return state, history

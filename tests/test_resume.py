@@ -1,0 +1,200 @@
+"""Deterministic checkpoint/resume + preemption (checkpoint-on-signal).
+
+The reference had no preemption handling and no resumable input pipeline
+(SURVEY.md §5: weights-only .h5 saves, optimizer state lost). Here a run
+interrupted at ANY step boundary — including via SIGTERM — resumes
+bit-compatibly: the data stream (seeded per-epoch permutations +
+start_step), the per-step RNG (fold_in(rng_root, step)), the LR schedule
+(driven by state.step) and the full optimizer state all line up with the
+uninterrupted run.
+"""
+
+import os
+import signal
+
+import jax
+import numpy as np
+import pytest
+
+from pldepth_tpu.core.config import ExperimentConfig
+from pldepth_tpu.core.mesh import make_mesh
+from pldepth_tpu.data import BatchIterator, SyntheticDepthDataset
+from pldepth_tpu.train import Trainer
+from pldepth_tpu.train.checkpoint import CheckpointManager
+
+S = 64
+
+
+# ----------------------------------------------------------------------
+# data-stream determinism
+# ----------------------------------------------------------------------
+def _collect(it, n):
+    out = [next(it) for _ in range(n)]
+    it.close()
+    return out
+
+
+def test_batch_iterator_start_step_resumes_stream():
+    ds = SyntheticDepthDataset(n=10, image_size=32, seed=0)
+    full = _collect(BatchIterator(ds, 4, seed=3), 7)
+    tail = _collect(BatchIterator(ds, 4, seed=3, start_step=4), 3)
+    for a, b in zip(full[4:], tail):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_batch_iterator_epoch_permutations_differ():
+    ds = SyntheticDepthDataset(n=8, image_size=32, seed=0)
+    batches = _collect(BatchIterator(ds, 4, seed=0), 4)  # 2 epochs
+    e0 = np.concatenate([batches[0]["gt"], batches[1]["gt"]])
+    e1 = np.concatenate([batches[2]["gt"], batches[3]["gt"]])
+    # same multiset of samples, different order
+    assert not np.array_equal(e0, e1)
+    np.testing.assert_array_equal(
+        np.sort(e0.reshape(8, -1), axis=0), np.sort(e1.reshape(8, -1), axis=0)
+    )
+
+
+def test_packed_iterator_start_step_resumes_stream(tmp_path):
+    from pldepth_tpu.data.packed import (
+        NativePackedIterator,
+        _load_lib,
+        pack_dataset,
+    )
+
+    if _load_lib() is None:
+        pytest.skip("native packio unavailable")
+    ds = SyntheticDepthDataset(n=10, image_size=32, seed=0)
+    path = str(tmp_path / "d.pldpack")
+    pack_dataset(ds, path)
+    full = _collect(NativePackedIterator(path, 4, seed=3), 7)
+    tail = _collect(NativePackedIterator(path, 4, seed=3, start_step=4), 3)
+    for a, b in zip(full[4:], tail):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+# ----------------------------------------------------------------------
+# train-loop resume
+# ----------------------------------------------------------------------
+pytestmark = []
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = ExperimentConfig(
+        model_name="ff_effnet", input_size=S, batch_size=4, ranking_size=3,
+        rankings_per_image=8, sampling_type=1, freeze_encoder=False,
+        compute_dtype="float32", listmle_impl="xla", initial_lr=3e-4,
+        epochs=1,
+    )
+    trainer = Trainer(
+        cfg, steps_per_epoch=3, mesh=make_mesh(devices=jax.devices()[:1])
+    )
+    ds = SyntheticDepthDataset(n=12, image_size=S, seed=0)
+    return cfg, trainer, ds
+
+
+def _params_flat(state):
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(
+        jax.device_get(state.params))]
+
+
+class _StopAfter:
+    """Wrap an iterator; trigger an action after yielding N batches."""
+
+    def __init__(self, it, n, action):
+        self.it, self.n, self.action = it, n, action
+        self.count = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        batch = next(self.it)
+        self.count += 1
+        if self.count == self.n:
+            self.action()
+        return batch
+
+    def close(self):
+        self.it.close()
+
+
+@pytest.mark.slow
+def test_sigterm_mid_epoch_checkpoint_then_bitwise_resume(tiny, tmp_path):
+    cfg, trainer, ds = tiny
+
+    # uninterrupted 3-step run
+    state_a, hist_a = trainer.fit(
+        trainer.init_state(), BatchIterator(ds, cfg.batch_size, seed=0), epochs=1
+    )
+    ref_params = _params_flat(state_a)
+
+    # interrupted run: SIGTERM delivered while fetching the 3rd batch ->
+    # fit stops after step 2, saves full state, reports preempted
+    mgr = CheckpointManager(str(tmp_path / "auto"), keep=2)
+    it = _StopAfter(
+        BatchIterator(ds, cfg.batch_size, seed=0), 3,
+        lambda: os.kill(os.getpid(), signal.SIGTERM),
+    )
+    state_b, hist_b = trainer.fit(trainer.init_state(), it, epochs=1, ckpt=mgr)
+    it.close()
+    assert hist_b.get("preempted") is True
+    assert mgr.latest_step() == 2
+
+    # resume from the checkpoint: data stream, RNG and schedule fast-forward
+    restored = trainer.replicate(mgr.restore(trainer.init_state()))
+    mgr.close()
+    assert int(jax.device_get(restored.step)) == 2
+    it2 = BatchIterator(ds, cfg.batch_size, seed=0, start_step=2)
+    state_c, hist_c = trainer.fit(restored, it2, epochs=1)
+    it2.close()
+    assert hist_c.get("preempted") is None
+
+    for a, c in zip(ref_params, _params_flat(state_c)):
+        np.testing.assert_array_equal(a, c)
+
+
+@pytest.mark.slow
+def test_request_stop_from_other_thread_is_clean(tiny, tmp_path):
+    cfg, trainer, ds = tiny
+    mgr = CheckpointManager(str(tmp_path / "rs"), keep=1)
+    it = _StopAfter(
+        BatchIterator(ds, cfg.batch_size, seed=0), 2, trainer.request_stop
+    )
+    state, hist = trainer.fit(trainer.init_state(), it, epochs=1, ckpt=mgr)
+    it.close()
+    assert hist.get("preempted") is True
+    assert mgr.latest_step() == 1
+    mgr.close()
+    # the stop flag is reset: a fresh fit on the same trainer runs fully
+    it3 = BatchIterator(ds, cfg.batch_size, seed=0)
+    _, hist2 = trainer.fit(trainer.init_state(), it3, epochs=1)
+    it3.close()
+    assert hist2.get("preempted") is None
+    assert len(hist2["loss"]) == 1
+
+
+@pytest.mark.slow
+def test_epoch_boundary_resume_matches_two_epoch_run(tiny, tmp_path):
+    cfg, trainer, ds = tiny
+
+    state_a, hist_a = trainer.fit(
+        trainer.init_state(), BatchIterator(ds, cfg.batch_size, seed=0), epochs=2
+    )
+    ref = _params_flat(state_a)
+
+    mgr = CheckpointManager(str(tmp_path / "ep"), keep=1)
+    it = BatchIterator(ds, cfg.batch_size, seed=0)
+    state_b, _ = trainer.fit(trainer.init_state(), it, epochs=1, ckpt=mgr)
+    it.close()
+    assert mgr.latest_step() == 3  # one auto-save per epoch, global-step label
+    restored = trainer.replicate(mgr.restore(trainer.init_state()))
+    mgr.close()
+    it2 = BatchIterator(ds, cfg.batch_size, seed=0, start_step=3)
+    state_c, hist_c = trainer.fit(restored, it2, epochs=2)
+    it2.close()
+    assert len(hist_c["loss"]) == 1  # only epoch 2 ran
+    for a, c in zip(ref, _params_flat(state_c)):
+        np.testing.assert_array_equal(a, c)

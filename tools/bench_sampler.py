@@ -3,6 +3,11 @@
 Run on the TPU: python -u tools/bench_sampler.py (from the repo root; do
 not set PYTHONPATH — see .claude/skills/verify/SKILL.md).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import faulthandler
 import time
 

@@ -4,6 +4,11 @@ Writes a perfetto trace under /tmp/jaxprof and prints the aggregate
 per-op-name device durations (how the 67 ms boolean-gather fusion of the
 rejection draw was found — docs/BENCH.md).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import faulthandler
 import glob
 import gzip

@@ -4,6 +4,11 @@ PLDEPTH_PROFILE_K / PLDEPTH_PROFILE_DRAW override ranking_size and the
 draw method. How the rank-scatter compaction's 31 ms in-step scatter
 fusion was found (docs/BENCH.md).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import faulthandler
 import glob
 import gzip
@@ -20,7 +25,6 @@ from pldepth_tpu.core.config import ExperimentConfig
 from pldepth_tpu.train import Trainer
 
 B, S = 32, 448
-import os
 cfg = ExperimentConfig(
     model_name="ff_effnet", input_size=S, batch_size=B,
     ranking_size=int(os.environ.get("PLDEPTH_PROFILE_K", 25)),
