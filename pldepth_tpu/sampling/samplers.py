@@ -91,7 +91,14 @@ def _masked_uniform_points(key, mask_flat, n_points, method: str = "auto"):
     Equivalent to the reference's uniform choice over ``np.where(mask > 0)``
     coordinates (sampling.py:113). Two fixed-shape device strategies:
 
-    * ``compact`` (default) — argsort compaction: one stable O(HW) sort of
+    * ``packed`` (default) — single-array compaction: fold the invalid flag
+      into the index itself (invalid pixels get ``idx + HW``) and sort ONE
+      s32 array; the first ``n_valid`` entries are exactly the valid pixel
+      indices in order. Bit-identical draws to ``compact`` with no separate
+      key array; measured FULL-STEP equal (262.7 vs 262.2 img/s at K=25 —
+      the 6.5 ms tuple-sort is payload-bound, so dropping the pred key
+      doesn't shrink it). Kept default for the leaner HLO.
+    * ``compact`` — argsort compaction: one stable O(HW) sort of
       the invalid flags lists the valid pixel indices first, then each point
       is a single integer gather. TPU random gathers cost ~10 ns/element
       (profiled), so the flat per-image sort beats per-point gather bills at
@@ -111,11 +118,15 @@ def _masked_uniform_points(key, mask_flat, n_points, method: str = "auto"):
     valid = mask_flat > 0
     valid = jnp.where(jnp.any(valid), valid, jnp.ones_like(valid))
     if method == "auto":
-        method = "compact"
+        method = "packed"
 
-    if method == "compact":
+    if method in ("packed", "compact"):
         n_valid = jnp.sum(valid.astype(jnp.int32))
-        compact = jnp.argsort(~valid, stable=True).astype(jnp.int32)
+        if method == "packed":
+            iota = jnp.arange(hw, dtype=jnp.int32)
+            compact = jnp.sort(jnp.where(valid, iota, iota + hw))
+        else:
+            compact = jnp.argsort(~valid, stable=True).astype(jnp.int32)
         u = jax.random.uniform(key, (n_points,))
         draw = jnp.minimum((u * n_valid).astype(jnp.int32), n_valid - 1)
         return compact[draw]

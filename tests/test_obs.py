@@ -53,3 +53,45 @@ def test_log_images_writes_pngs(tmp_path):
     from PIL import Image
 
     assert Image.open(ex / "ex_pred.png").size == (16, 16)
+
+
+def test_wandb_adapter_with_stub(tmp_path, monkeypatch):
+    """Gated wandb path: verify init/log/summary/finish calls against a stub
+    module (wandb is not installed in this image; the adapter must degrade
+    to local-only without it and forward faithfully with it)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    calls = {"log": [], "summary": {}, "finished": False}
+
+    class _Run:
+        summary = calls["summary"]
+
+        def log(self, metrics, step=None):
+            calls["log"].append((metrics, step))
+
+        def finish(self):
+            calls["finished"] = True
+
+    stub = types.ModuleType("wandb")
+    stub.init = lambda **kw: _Run()
+
+    class _Image:
+        def __init__(self, arr, caption=None):
+            self.caption = caption
+
+    stub.Image = _Image
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    lg = MetricLogger(str(tmp_path), "wb", config={"x": 1}, use_wandb=True)
+    lg.log({"loss": 0.5}, step=3)
+    lg.set_summary(test_error=0.1)
+    lg.log_images({"ex": np.random.rand(8, 8)}, captions={"ex": "cap"})
+    lg.close()
+
+    assert ({"loss": 0.5}, 3) in calls["log"]
+    assert calls["summary"]["test_error"] == 0.1
+    assert any(isinstance(v, _Image) for m, _ in calls["log"] for v in m.values())
+    assert calls["finished"]

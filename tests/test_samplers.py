@@ -20,7 +20,7 @@ def make_image(rng, mask_frac=0.6):
     return jnp.array(gt), jnp.array(mask)
 
 
-@pytest.mark.parametrize("draw_method", ["rejection", "compact"])
+@pytest.mark.parametrize("draw_method", ["rejection", "compact", "packed"])
 @pytest.mark.parametrize(
     "name", ["purely_masked", "masked", "thresholded", "info_score"]
 )
@@ -215,3 +215,19 @@ def test_empty_mask_fallback(rng):
         )
     )
     assert np.isfinite(out).all()
+
+
+def test_packed_draw_identical_to_compact(rng):
+    """packed (single-array sort) and compact (argsort) are the same math:
+    both list valid pixel indices in ascending order, so draws agree
+    bit-for-bit given the same key."""
+    from pldepth_tpu.sampling.samplers import _masked_uniform_points
+
+    hw = 1024
+    mask = (rng.uniform(size=hw) < 0.4).astype(np.float32)
+    mask[0] = 1.0
+    a = np.asarray(_masked_uniform_points(
+        jax.random.key(7), jnp.asarray(mask), 5000, "compact"))
+    b = np.asarray(_masked_uniform_points(
+        jax.random.key(7), jnp.asarray(mask), 5000, "packed"))
+    np.testing.assert_array_equal(a, b)

@@ -40,7 +40,9 @@ key = jax.random.key(0)
 out = call(key)
 jax.block_until_ready(out)
 
-with jax.profiler.trace("/tmp/jaxprof"):
+import tempfile
+trace_dir = tempfile.mkdtemp(prefix="jaxprof_")
+with jax.profiler.trace(trace_dir):
     for i in range(5):
         out = call(jax.random.fold_in(key, i))
     jax.block_until_ready(out)
@@ -48,7 +50,7 @@ with jax.profiler.trace("/tmp/jaxprof"):
 
 time.sleep(2)
 # parse the perfetto trace: sum durations by op name on device tracks
-paths = glob.glob("/tmp/jaxprof/**/*.trace.json.gz", recursive=True)
+paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
 print("traces:", paths, flush=True)
 events = []
 for p in paths:

@@ -42,13 +42,15 @@ batch = tr.shard_batch({
 state, m = tr.train_step(state, batch)
 print("warm loss", float(m.loss), flush=True)
 
-with jax.profiler.trace("/tmp/jaxprof2"):
+import tempfile
+trace_dir = tempfile.mkdtemp(prefix="jaxprof_")
+with jax.profiler.trace(trace_dir):
     for _ in range(3):
         state, m = tr.train_step(state, batch)
     _ = float(m.loss)
 
 time.sleep(2)
-p = glob.glob("/tmp/jaxprof2/**/*.trace.json.gz", recursive=True)[0]
+p = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)[0]
 with gzip.open(p, "rt") as f:
     data = json.load(f)
 evs = data["traceEvents"]
