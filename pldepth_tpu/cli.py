@@ -86,6 +86,13 @@ def _reference_options(f):
                      help="JSON file with config overrides (applied before "
                           "CLI flags; reference ModelParameters"
                           ".load_parameters_from_file, models_meta.py:51-65)"),
+        click.option("--mesh_model", default=1, type=click.INT,
+                     help="size of the mesh 'model' axis (devices are "
+                          "data x model); used by --spatial_sharding"),
+        click.option("--spatial_sharding", default=False, type=click.BOOL,
+                     help="shard image rows over the mesh 'model' axis "
+                          "(XLA inserts conv halo exchanges; for inputs "
+                          "whose activations exceed one chip's HBM)"),
         click.option("--run_name", default="",
                      help="run directory name under --output_dir (default: "
                           "timestamped); set a fixed name to make the run "
@@ -108,6 +115,8 @@ def _make_config(kw) -> "ExperimentConfig":
 
     cfg_keys = {f.name for f in dataclasses.fields(ExperimentConfig)}
     values = {k: v for k, v in kw.items() if k in cfg_keys}
+    if kw.get("mesh_model", 1) != 1:
+        values["mesh"] = {"data": -1, "model": kw["mesh_model"]}
     config_json = kw.get("config_json")
     if config_json:
         with open(config_json) as f:

@@ -101,6 +101,13 @@ class ExperimentConfig:
 
     # --- parallelism ---
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Spatial partitioning (SP): shard the image H axis over the mesh
+    # "model" axis; XLA's SPMD partitioner inserts the conv halo exchanges
+    # and BN cross-shard reductions. For inputs whose activations exceed one
+    # chip's HBM (e.g. ff_effnet_b7 at 1024^2+). Requires mesh.model > 1 and
+    # input_size divisible by mesh.model. No reference equivalent
+    # (single-device Keras fit, pldepth/PLDepth.py:176).
+    spatial_sharding: bool = False
 
     # --- observability / io ---
     output_dir: str = "runs"

@@ -164,6 +164,20 @@ class Trainer:
             return jax.tree_util.tree_map(put, tree)
         return jax.device_put(tree, sharding)
 
+    def _spatial_axis(self) -> Optional[str]:
+        """Mesh axis name for the image H dim under spatial partitioning."""
+        if not self.cfg.spatial_sharding:
+            return None
+        m = self.mesh.axis_names[1]
+        if self.mesh.shape[m] <= 1:
+            return None
+        if self.cfg.input_size % self.mesh.shape[m]:
+            raise ValueError(
+                f"input_size {self.cfg.input_size} not divisible by the "
+                f"spatial ({m}) axis of size {self.mesh.shape[m]}"
+            )
+        return m
+
     def shard_batch(self, batch: Dict[str, np.ndarray]):
         """Place a host batch onto the mesh, sharded on the leading axis.
 
@@ -173,15 +187,19 @@ class Trainer:
         into one global array without cross-host transfer.
         """
         multihost = jax.process_count() > 1
+        h = self._spatial_axis()
 
-        def put(x):
-            spec = P(self.mesh.axis_names[0], *([None] * (np.ndim(x) - 1)))
+        def put(k, x):
+            rest = [None] * (np.ndim(x) - 1)
+            if h is not None and k in ("image", "gt", "mask"):
+                rest[0] = h  # rows over the spatial axis
+            spec = P(self.mesh.axis_names[0], *rest)
             sharding = NamedSharding(self.mesh, spec)
             if multihost:
                 return jax.make_array_from_process_local_data(sharding, x)
             return jax.device_put(x, sharding)
 
-        return {k: put(v) for k, v in batch.items()}
+        return {k: put(k, v) for k, v in batch.items()}
 
     # ------------------------------------------------------------------
     # steps
@@ -290,16 +308,19 @@ class Trainer:
             return new_state, metrics
 
         d = self.mesh.axis_names[0]
+        # Spatial partitioning: image rows sharded over the "model" axis;
+        # XLA SPMD inserts conv halo exchanges + BN cross-shard reductions.
+        h = self._spatial_axis()
         if fixed_rankings:
             batch_sharding = {
-                "image": NamedSharding(self.mesh, P(d, None, None, None)),
+                "image": NamedSharding(self.mesh, P(d, h, None, None)),
                 "rankings": NamedSharding(self.mesh, P(d, None, None, None)),
             }
         else:
             batch_sharding = {
-                "image": NamedSharding(self.mesh, P(d, None, None, None)),
-                "gt": NamedSharding(self.mesh, P(d, None, None)),
-                "mask": NamedSharding(self.mesh, P(d, None, None)),
+                "image": NamedSharding(self.mesh, P(d, h, None, None)),
+                "gt": NamedSharding(self.mesh, P(d, h, None)),
+                "mask": NamedSharding(self.mesh, P(d, h, None)),
             }
         repl = NamedSharding(self.mesh, P())
         return jax.jit(
@@ -327,7 +348,7 @@ class Trainer:
         repl = NamedSharding(self.mesh, P())
         d = self.mesh.axis_names[0]
         batch_sharding = {
-            "image": NamedSharding(self.mesh, P(d, None, None, None)),
+            "image": NamedSharding(self.mesh, P(d, self._spatial_axis(), None, None)),
             "rankings": NamedSharding(self.mesh, P(d, None, None, None)),
         }
         return jax.jit(eval_step, in_shardings=(repl, batch_sharding), out_shardings=repl)

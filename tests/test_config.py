@@ -45,3 +45,14 @@ def test_mesh_resolution():
     assert MeshConfig(data=-1, model=2).resolved_data(8) == 4
     with pytest.raises(AssertionError):
         MeshConfig(data=-1, model=3).resolved_data(8)
+
+
+def test_cli_mesh_model_flag_builds_mesh():
+    from pldepth_tpu.cli import _make_config
+
+    cfg = _make_config({"mesh_model": 4, "spatial_sharding": True})
+    assert cfg.mesh.model == 4 and cfg.mesh.data == -1
+    assert cfg.spatial_sharding
+
+    cfg2 = _make_config({"mesh_model": 1})
+    assert cfg2.mesh.model == 1
