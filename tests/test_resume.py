@@ -198,3 +198,31 @@ def test_epoch_boundary_resume_matches_two_epoch_run(tiny, tmp_path):
     assert len(hist_c["loss"]) == 1  # only epoch 2 ran
     for a, c in zip(ref, _params_flat(state_c)):
         np.testing.assert_array_equal(a, c)
+
+
+@pytest.mark.slow
+def test_checkpoint_is_mesh_portable(tiny, tmp_path):
+    """Elastic scale-down: a checkpoint taken on a dp2 mesh restores into a
+    single-device trainer (and the reverse direction is the same replicate
+    path) — TrainState shardings are not baked into the checkpoint."""
+    cfg, trainer1, ds = tiny
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 virtual devices")
+    trainer2 = Trainer(cfg, steps_per_epoch=3, mesh=make_mesh(devices=devs[:2]))
+
+    mgr = CheckpointManager(str(tmp_path / "mp"), keep=1)
+    it = BatchIterator(ds, cfg.batch_size, seed=0)
+    state2, _ = trainer2.fit(trainer2.init_state(), it, epochs=1, ckpt=mgr)
+    it.close()
+
+    restored = trainer1.replicate(mgr.restore(trainer1.init_state()))
+    mgr.close()
+    assert int(jax.device_get(restored.step)) == 3
+    it2 = BatchIterator(ds, cfg.batch_size, seed=0, start_step=3)
+    state_c, hist = trainer1.fit(restored, it2, epochs=2)
+    it2.close()
+    assert len(hist["loss"]) == 1 and np.isfinite(hist["loss"][0])
+    # dp2 and single-device differ only in gradient-reduction order
+    for a, b in zip(_params_flat(state2), _params_flat(state_c)):
+        assert np.isfinite(b).all()
