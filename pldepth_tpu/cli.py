@@ -76,6 +76,9 @@ def _reference_options(f):
                           "headline config — see docs/BENCH.md)"),
         click.option("--output_dir", default="runs"),
         click.option("--use_wandb", default=False, type=click.BOOL),
+        click.option("--use_tensorboard", default=False, type=click.BOOL,
+                     help="also write TensorBoard event files under "
+                          "<run>/tb (reference tracking_utils.py:33-39)"),
         click.option("--profile", default=False, type=click.BOOL,
                      help="capture a jax.profiler trace of 3 steady steps"),
         click.option("--pack_cache", default="",
@@ -193,7 +196,8 @@ def train(pack_cache="", run_name="", resume=False, **kw):
         raise click.UsageError("--resume needs a fixed --run_name")
     if not run_name:
         run_name = time.strftime("%d%m%y-%H%M%S") + f"_s{cfg.sampling_type}"
-    logger = MetricLogger(cfg.output_dir, run_name, cfg.to_dict(), cfg.use_wandb)
+    logger = MetricLogger(cfg.output_dir, run_name, cfg.to_dict(), cfg.use_wandb,
+                          use_tensorboard=cfg.use_tensorboard)
 
     train_ds, val_ds = _load_data(cfg)
     steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
@@ -412,7 +416,8 @@ def active(rounds, split_num, sigma, pretrain_epochs, **kw):
 
     cfg = _make_config(kw)
     run_name = time.strftime("%d%m%y-%H%M%S") + "_active"
-    logger = MetricLogger(cfg.output_dir, run_name, cfg.to_dict(), cfg.use_wandb)
+    logger = MetricLogger(cfg.output_dir, run_name, cfg.to_dict(), cfg.use_wandb,
+                          use_tensorboard=cfg.use_tensorboard)
     train_ds, val_ds = _load_data(cfg)
     trainer = Trainer(cfg, max(1, len(train_ds) // cfg.batch_size))
     state = trainer.init_state()

@@ -115,6 +115,7 @@ class ExperimentConfig:
     checkpoint_every_epochs: int = 1
     keep_checkpoints: int = 3
     use_wandb: bool = False
+    use_tensorboard: bool = False
     profile: bool = False
 
     # ------------------------------------------------------------------

@@ -30,6 +30,7 @@ class MetricLogger:
         config: Optional[Dict[str, Any]] = None,
         use_wandb: bool = False,
         wandb_project: str = "pldepth-tpu",
+        use_tensorboard: bool = False,
     ):
         self.dir = os.path.join(output_dir, run_name)
         os.makedirs(self.dir, exist_ok=True)
@@ -38,6 +39,7 @@ class MetricLogger:
         self._csv_fields: Optional[list] = None
         self._csv_file = None
         self._wandb = None
+        self._tb = None
         self.summary: Dict[str, Any] = {}
         if config:
             with open(os.path.join(self.dir, "config.json"), "w") as f:
@@ -51,6 +53,15 @@ class MetricLogger:
                 )
             except Exception as e:  # pragma: no cover
                 log.warning("wandb requested but unavailable (%s); local-only", e)
+        if use_tensorboard:
+            # reference third sink (tracking_utils.py:33-39 TB callback);
+            # torch's SummaryWriter avoids a TF dependency
+            try:
+                from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+                self._tb = SummaryWriter(log_dir=os.path.join(self.dir, "tb"))
+            except Exception as e:  # pragma: no cover
+                log.warning("tensorboard requested but unavailable (%s)", e)
 
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
         rec = {"_time": time.time(), **({"step": step} if step is not None else {}),
@@ -69,6 +80,10 @@ class MetricLogger:
         self._csv_file.flush()
         if self._wandb is not None:  # pragma: no cover
             self._wandb.log(metrics, step=step)
+        if self._tb is not None:
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)) and v is not None:
+                    self._tb.add_scalar(k, v, global_step=step)
 
     def set_summary(self, **kwargs):
         """wandb.run.summary equivalent (PLDepth.py:190-193)."""
@@ -78,6 +93,10 @@ class MetricLogger:
         if self._wandb is not None:  # pragma: no cover
             for k, v in kwargs.items():
                 self._wandb.summary[k] = v
+        if self._tb is not None:
+            for k, v in kwargs.items():
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(f"summary/{k}", v)
 
     def log_images(self, images: Dict[str, Any], captions: Optional[Dict[str, str]] = None):
         """Example-image logging (reference PLDepth.py:196-209: wandb.Image
@@ -110,6 +129,10 @@ class MetricLogger:
                 self._wandb.log(
                     {name: wandb.Image(np.asarray(arr), caption=captions.get(name, name))}
                 )
+            if self._tb is not None:
+                self._tb.add_image(
+                    name, u8[..., None] if u8.ndim == 2 else u8, dataformats="HWC"
+                )
 
     def close(self):
         self._jsonl.close()
@@ -117,3 +140,5 @@ class MetricLogger:
             self._csv_file.close()
         if self._wandb is not None:  # pragma: no cover
             self._wandb.finish()
+        if self._tb is not None:
+            self._tb.close()

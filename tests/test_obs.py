@@ -95,3 +95,23 @@ def test_wandb_adapter_with_stub(tmp_path, monkeypatch):
     assert calls["summary"]["test_error"] == 0.1
     assert any(isinstance(v, _Image) for m, _ in calls["log"] for v in m.values())
     assert calls["finished"]
+
+
+def test_tensorboard_sink_writes_event_files(tmp_path):
+    """Gated TB sink (reference tracking_utils.py:33-39 third logging
+    system): scalars + images land in an event file under <run>/tb."""
+    import glob
+
+    import numpy as np
+
+    lg = MetricLogger(str(tmp_path), "tb_run", use_tensorboard=True)
+    if lg._tb is None:
+        import pytest
+
+        pytest.skip("tensorboard writer unavailable")
+    lg.log({"loss": 1.5, "lr": 0.01}, step=0)
+    lg.set_summary(test_error=0.2)
+    lg.log_images({"ex": np.random.rand(8, 8)})
+    lg.close()
+    events = glob.glob(os.path.join(str(tmp_path), "tb_run", "tb", "events.*"))
+    assert events and os.path.getsize(events[0]) > 0
