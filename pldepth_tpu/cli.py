@@ -226,11 +226,13 @@ def train(pack_cache="", run_name="", resume=False, **kw):
             click.echo(f"packing {len(train_ds)} samples -> {pack_cache}")
             pack_dataset(train_ds, pack_cache)
         train_iter = NativePackedIterator(
-            pack_cache, cfg.batch_size, seed=cfg.seed, start_step=start_step
+            pack_cache, cfg.batch_size, seed=cfg.seed, start_step=start_step,
+            ring=cfg.prefetch_depth,
         )
     else:
         train_iter = BatchIterator(
-            train_ds, cfg.batch_size, seed=cfg.seed, start_step=start_step
+            train_ds, cfg.batch_size, seed=cfg.seed, start_step=start_step,
+            prefetch=cfg.prefetch_depth,
         )
     vfac = None
     if len(val_ds) >= cfg.batch_size:
@@ -251,6 +253,10 @@ def train(pack_cache="", run_name="", resume=False, **kw):
     class LogCB:
         def on_train_begin(self, tr):
             pass
+
+        def on_step_end(self, tr, step, metrics):
+            # distinct keys so the epoch rows keep their CSV schema
+            logger.log({f"step_{k}": v for k, v in metrics.items()}, step=step)
 
         def on_epoch_end(self, tr, st, epoch, history):
             logger.log(

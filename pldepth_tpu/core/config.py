@@ -71,7 +71,10 @@ class ExperimentConfig:
     # argsort compaction — measured fastest in-step at every config
     # (docs/BENCH.md); rejection kept for ablation.
     sampler_draw_method: str = "auto"
-    shuffle_buffer: int = 1024
+    # host pipeline: batches prefetched ahead by the background producer
+    # (BatchIterator prefetch / native ring capacity). Shuffling is a full
+    # per-epoch permutation — strictly stronger than the reference's
+    # shuffle(1024) window (hourglass_provider.py:60).
     prefetch_depth: int = 2
 
     # --- schedule / optimizer ---
@@ -111,7 +114,12 @@ class ExperimentConfig:
 
     # --- observability / io ---
     output_dir: str = "runs"
-    log_every: int = 10
+    # call a callback's on_step_end every N steps (per-batch LR logging
+    # parity, reference LearningRateLoggingCallback training_utils.py:7-17);
+    # 0 disables
+    log_every: int = 0
+    # resumable full-state autosave cadence in fit() (preemption saves are
+    # unconditional)
     checkpoint_every_epochs: int = 1
     keep_checkpoints: int = 3
     use_wandb: bool = False

@@ -458,6 +458,18 @@ class Trainer:
                     # a 2-deep window still overlaps host feed with device work.
                     if len(losses) >= 2:
                         losses[-2].block_until_ready()
+                    if self.cfg.log_every and (step_i + 1) % self.cfg.log_every == 0:
+                        # per-batch logging parity (reference
+                        # LearningRateLoggingCallback); opt-in — it costs a
+                        # device sync per call
+                        for cb in callbacks:
+                            if hasattr(cb, "on_step_end"):
+                                cb.on_step_end(
+                                    self,
+                                    epoch * self.steps_per_epoch + step_i,
+                                    {"loss": float(metrics.loss),
+                                     "lr": float(metrics.lr)},
+                                )
                     if self._stop_requested:
                         preempted = True
                         break
@@ -493,7 +505,10 @@ class Trainer:
                     epoch, epoch_loss, f"{val_loss:.4f}" if val_loss is not None else "-",
                     ips, history["lr"][-1],
                 )
-                if ckpt is not None:
+                if ckpt is not None and (
+                    (epoch + 1) % max(1, self.cfg.checkpoint_every_epochs) == 0
+                    or epoch == epochs - 1
+                ):
                     ckpt.save(int(jax.device_get(state.step)), state)
                 for cb in callbacks:
                     cb.on_epoch_end(self, state, epoch, history)

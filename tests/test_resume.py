@@ -226,3 +226,40 @@ def test_checkpoint_is_mesh_portable(tiny, tmp_path):
     # dp2 and single-device differ only in gradient-reduction order
     for a, b in zip(_params_flat(state2), _params_flat(state_c)):
         assert np.isfinite(b).all()
+
+
+@pytest.mark.slow
+def test_log_every_and_checkpoint_cadence(tiny, tmp_path):
+    """log_every fires on_step_end (per-batch LR logging parity, reference
+    LearningRateLoggingCallback); checkpoint_every_epochs thins autosaves
+    (the final epoch always saves)."""
+    cfg, _, ds = tiny
+    cfg2 = cfg.replace(log_every=2, checkpoint_every_epochs=2)
+    trainer = Trainer(
+        cfg2, steps_per_epoch=2, mesh=make_mesh(devices=jax.devices()[:1])
+    )
+    seen = []
+
+    class CB:
+        def on_train_begin(self, tr):
+            pass
+
+        def on_epoch_end(self, *a):
+            pass
+
+        def on_train_end(self, *a):
+            pass
+
+        def on_step_end(self, tr, step, m):
+            seen.append((step, m))
+
+    mgr = CheckpointManager(str(tmp_path / "cad"), keep=5)
+    it = BatchIterator(ds, cfg.batch_size, seed=0)
+    trainer.fit(trainer.init_state(), it, epochs=4, ckpt=mgr, callbacks=[CB()])
+    it.close()
+    # log_every=2 with 2 steps/epoch -> one call per epoch, at local step 2
+    assert len(seen) == 4
+    assert all(np.isfinite(m["loss"]) and m["lr"] > 0 for _, m in seen)
+    # cadence 2 over 4 epochs -> saves after epochs 1 and 3 (global steps 4, 8)
+    assert mgr.latest_step() == 8
+    mgr.close()
