@@ -74,6 +74,10 @@ def _reference_options(f):
                           "sampled ranking pixels during training (exact "
                           "through the last BN; measured slower at the "
                           "headline config — see docs/BENCH.md)"),
+        click.option("--fused_tail", default=True, type=click.BOOL,
+                     help="collapse the final upsample+head conv into one "
+                          "half-res phase conv (value-exact; +18% train "
+                          "throughput at 448^2 — see docs/BENCH.md)"),
         click.option("--output_dir", default="runs"),
         click.option("--use_wandb", default=False, type=click.BOOL),
         click.option("--use_tensorboard", default=False, type=click.BOOL,

@@ -98,6 +98,10 @@ class ExperimentConfig:
     # Measured slower at the headline config (docs/BENCH.md), so off by
     # default; useful for point-query serving and very large resolutions.
     sparse_tail: bool = False
+    # Collapse the final upsample+head conv into one half-res phase conv
+    # (ops/fused_tail.py) — value-equal to compute-dtype rounding; saves the
+    # full-res 32-channel tensor and the 1-channel-conv lane waste.
+    fused_tail: bool = True
 
     # --- loss ---
     listmle_impl: str = "auto"  # auto | pallas | xla

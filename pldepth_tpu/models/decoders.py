@@ -23,6 +23,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from pldepth_tpu.ops.fused_tail import fused_upsample2x_head
 from pldepth_tpu.ops.resize import upsample2x_bilinear
 from pldepth_tpu.ops.sparse_tail import sparse_upsample2x_taps
 
@@ -32,6 +33,26 @@ def _bn(name: str, train: bool):
         use_running_average=not train, momentum=0.99, epsilon=1e-3,
         dtype=jnp.float32, name=name,
     )
+
+
+class _ConvParams(nn.Module):
+    """Owns the kernel/bias of a conv without applying it, with the same
+    parameter names, shapes and initializers as ``nn.Conv`` — so the fused
+    tail shares one parameter tree (``decoder/head``) with the unfused and
+    sparse paths and checkpoints are interchangeable."""
+
+    features: int
+    kernel_size: tuple
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class SkipConcatDecoder(nn.Module):
@@ -46,6 +67,7 @@ class SkipConcatDecoder(nn.Module):
 
     head_ch: int = 32
     dtype: Any = jnp.bfloat16
+    fused_tail: bool = True
 
     @nn.compact
     def __call__(self, top, taps, train: bool = False, pixels=None):
@@ -68,6 +90,14 @@ class SkipConcatDecoder(nn.Module):
             self.head_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv4"
         )(x)
         x = nn.relu(_bn("bn4", train)(x).astype(self.dtype))
+        if pixels is None and self.fused_tail:
+            # Fused tail: upsample+head collapsed into a half-res phase conv
+            # (ops/fused_tail.py) — same parameters, same values (to compute-
+            # dtype rounding), ~10 ms/step less full-res traffic at 448^2.
+            kernel, bias = _ConvParams(
+                1, (3, 3), x.shape[-1], name="head"
+            )()
+            return fused_upsample2x_head(x, kernel, bias).astype(jnp.float32)
         head = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="head")
         if pixels is None:
             x = upsample2x_bilinear(x)  # -> 1/1

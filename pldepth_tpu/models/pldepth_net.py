@@ -43,6 +43,7 @@ class EffNetFullyFledged(nn.Module):
     dtype: Any = jnp.bfloat16
     asc_depth_order: bool = False
     remat: bool = False
+    fused_tail: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False, pixels=None):
@@ -54,9 +55,9 @@ class EffNetFullyFledged(nn.Module):
         top, taps = enc_cls(
             variant=self.variant, dtype=self.dtype, name="encoder"
         )(x, train)
-        return SkipConcatDecoder(dtype=self.dtype, name="decoder")(
-            top, taps, train, pixels
-        )
+        return SkipConcatDecoder(
+            dtype=self.dtype, fused_tail=self.fused_tail, name="decoder"
+        )(top, taps, train, pixels)
 
 
 class ReDWebFullyFledged(nn.Module):
@@ -88,21 +89,25 @@ class PLDepthModel:
 
 
 MODEL_REGISTRY: Dict[str, Callable[..., PLDepthModel]] = {
-    "ff_effnet": lambda dtype=jnp.bfloat16, remat=False: PLDepthModel(
+    "ff_effnet": lambda dtype=jnp.bfloat16, remat=False, fused_tail=True: PLDepthModel(
         "ff_effnet",
-        EffNetFullyFledged(variant="b0", dtype=dtype, remat=remat),
+        EffNetFullyFledged(
+            variant="b0", dtype=dtype, remat=remat, fused_tail=fused_tail
+        ),
         "effnet",
     ),
-    "ff_redweb": lambda dtype=jnp.bfloat16, remat=False: PLDepthModel(
+    "ff_redweb": lambda dtype=jnp.bfloat16, remat=False, fused_tail=True: PLDepthModel(
         "ff_redweb", ReDWebFullyFledged(dtype=dtype), "caffe"
     ),
 }
 for _v in VARIANTS:
     if _v != "b0":
         MODEL_REGISTRY[f"ff_effnet_{_v}"] = (
-            lambda dtype=jnp.bfloat16, remat=False, _v=_v: PLDepthModel(
+            lambda dtype=jnp.bfloat16, remat=False, fused_tail=True, _v=_v: PLDepthModel(
                 f"ff_effnet_{_v}",
-                EffNetFullyFledged(variant=_v, dtype=dtype, remat=remat),
+                EffNetFullyFledged(
+                    variant=_v, dtype=dtype, remat=remat, fused_tail=fused_tail
+                ),
                 "effnet",
             )
         )
@@ -118,11 +123,14 @@ def get_model_type_by_name(model_name: str) -> str:
 
 
 def get_pl_depth_net(
-    model_name: str, compute_dtype: str = "bfloat16", remat: bool = False
+    model_name: str, compute_dtype: str = "bfloat16", remat: bool = False,
+    fused_tail: bool = True,
 ) -> PLDepthModel:
     get_model_type_by_name(model_name)
     dtype = jnp.dtype(compute_dtype)
-    return MODEL_REGISTRY[model_name](dtype=dtype, remat=remat)
+    return MODEL_REGISTRY[model_name](
+        dtype=dtype, remat=remat, fused_tail=fused_tail
+    )
 
 
 def partition_params(params, freeze_encoder: bool = True):

@@ -78,7 +78,8 @@ class Trainer:
         self.steps_per_epoch = max(1, steps_per_epoch)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         self.model = get_pl_depth_net(
-            cfg.model_name, cfg.compute_dtype, remat=cfg.remat_encoder
+            cfg.model_name, cfg.compute_dtype, remat=cfg.remat_encoder,
+            fused_tail=cfg.fused_tail,
         )
         self.sampler_name = sampler_name_for_type(cfg.sampling_type)
         get_sampler(self.sampler_name)

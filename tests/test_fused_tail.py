@@ -1,0 +1,89 @@
+"""Fused decoder tail (ops/fused_tail.py): value and gradient equivalence
+with the reference two-step tail (upsample2x_bilinear + 3x3 head conv,
+pldepth/models/pl_hourglass.py:96-98), including the clamped/zero-padded
+borders the composed kernel must special-case."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pldepth_tpu.models.decoders import SkipConcatDecoder
+from pldepth_tpu.ops.fused_tail import fused_upsample2x_head
+from pldepth_tpu.ops.resize import upsample2x_bilinear
+
+
+def _exact(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        upsample2x_bilinear(x), w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b
+
+
+@pytest.mark.parametrize("hw", [(7, 9), (16, 16), (5, 3)])
+def test_fused_matches_exact_f32(hw):
+    k = jax.random.PRNGKey(0)
+    h, w_ = hw
+    x = jax.random.normal(k, (2, h, w_, 8), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(k, 1), (3, 3, 8, 1), jnp.float32)
+    b = jnp.array([0.3], jnp.float32)
+    got = fused_upsample2x_head(x, w, b)
+    want = _exact(x, w, b)
+    np.testing.assert_allclose(np.array(got), np.array(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gradients_match_f32():
+    k = jax.random.PRNGKey(2)
+    x = jax.random.normal(k, (1, 8, 8, 4), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(k, 1), (3, 3, 4, 1), jnp.float32)
+    b = jnp.zeros((1,), jnp.float32)
+
+    def loss_fused(x, w, b):
+        return (fused_upsample2x_head(x, w, b) ** 2).sum()
+
+    def loss_exact(x, w, b):
+        return (_exact(x, w, b) ** 2).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    ge = jax.grad(loss_exact, argnums=(0, 1, 2))(x, w, b)
+    for a, e in zip(gf, ge):
+        np.testing.assert_allclose(np.array(a), np.array(e), rtol=1e-4, atol=1e-4)
+
+
+def _decoder_inputs(key, dtype):
+    top = jax.random.normal(key, (1, 7, 7, 64), dtype)
+    taps = {
+        "expand_6": jax.random.normal(jax.random.fold_in(key, 1), (1, 14, 14, 48), dtype),
+        "expand_4": jax.random.normal(jax.random.fold_in(key, 2), (1, 28, 28, 24), dtype),
+        "expand_3": jax.random.normal(jax.random.fold_in(key, 3), (1, 56, 56, 16), dtype),
+    }
+    return top, taps
+
+
+def test_decoder_fused_vs_dense_shared_params():
+    """Same variables drive both paths (checkpoint interop) and agree."""
+    key = jax.random.PRNGKey(3)
+    top, taps = _decoder_inputs(key, jnp.float32)
+    dec_f = SkipConcatDecoder(dtype=jnp.float32, fused_tail=True)
+    dec_d = SkipConcatDecoder(dtype=jnp.float32, fused_tail=False)
+    v = dec_f.init(key, top, taps, False)
+    v2 = dec_d.init(key, top, taps, False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    of = dec_f.apply(v, top, taps, False)
+    od = dec_d.apply(v, top, taps, False)
+    scale = float(jnp.abs(od).max())
+    np.testing.assert_allclose(np.array(of), np.array(od), atol=2e-5 * scale)
+
+
+def test_decoder_fused_bf16_close():
+    key = jax.random.PRNGKey(4)
+    top, taps = _decoder_inputs(key, jnp.float32)
+    dec_f = SkipConcatDecoder(dtype=jnp.bfloat16, fused_tail=True)
+    dec_d = SkipConcatDecoder(dtype=jnp.bfloat16, fused_tail=False)
+    v = dec_f.init(key, top, taps, False)
+    of = np.array(dec_f.apply(v, top, taps, False))
+    od = np.array(dec_d.apply(v, top, taps, False))
+    # bf16 rounding differs between the fused and two-step formulations
+    scale = np.abs(od).max()
+    assert np.abs(of - od).max() < 0.05 * scale
