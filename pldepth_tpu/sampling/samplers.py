@@ -89,15 +89,21 @@ def _masked_uniform_points(key, mask_flat, n_points, method: str = "auto"):
     """Draw ``n_points`` flat indices uniformly from mask>0.
 
     Equivalent to the reference's uniform choice over ``np.where(mask > 0)``
-    coordinates (sampling.py:113). Two fixed-shape device strategies:
+    coordinates (sampling.py:113). Fixed-shape device strategies (all three
+    non-rejection methods produce bit-identical draws for the same key):
 
-    * ``packed`` (default) — single-array compaction: fold the invalid flag
+    * ``hier`` (default) — hierarchical rank lookup: chunked valid-count
+      cumsums locate "the g-th valid pixel" with two compare-sums and one
+      (points, 512) int16 gather, no O(HW) sort at all. Replaced ``packed``
+      as default after full-step measurement (the per-image 200k-element
+      sort was the largest single op of the fused train step at 6.9 ms).
+    * ``packed`` — single-array compaction: fold the invalid flag
       into the index itself (invalid pixels get ``idx + HW``) and sort ONE
       s32 array; the first ``n_valid`` entries are exactly the valid pixel
       indices in order. Bit-identical draws to ``compact`` with no separate
       key array; measured FULL-STEP equal (262.7 vs 262.2 img/s at K=25 —
       the 6.5 ms tuple-sort is payload-bound, so dropping the pred key
-      doesn't shrink it). Kept default for the leaner HLO.
+      doesn't shrink it).
     * ``compact`` — argsort compaction: one stable O(HW) sort of
       the invalid flags lists the valid pixel indices first, then each point
       is a single integer gather. TPU random gathers cost ~10 ns/element
@@ -118,7 +124,34 @@ def _masked_uniform_points(key, mask_flat, n_points, method: str = "auto"):
     valid = mask_flat > 0
     valid = jnp.where(jnp.any(valid), valid, jnp.ones_like(valid))
     if method == "auto":
-        method = "packed"
+        method = "hier"
+
+    if method == "hier":
+        # Hierarchical rank lookup: the draw is "the g-th valid pixel in
+        # flat order" (exactly what compaction computes), found WITHOUT the
+        # O(HW) sort. Chunk the flat mask into C chunks of L: an inclusive
+        # cumsum of per-chunk valid counts locates each draw's chunk (one
+        # C-wide compare-sum per draw), an inclusive within-chunk prefix
+        # locates the column (one L-wide compare-sum on a gathered int16
+        # row). Replaces the 6.9 ms/step per-image sort of 200k elements
+        # with ~0.1 MB of cumsums + a (points, L) gather; draws are
+        # bit-identical to ``packed``/``compact`` for the same key.
+        L = 512
+        C = (hw + L - 1) // L
+        v = jnp.zeros((C * L,), jnp.int32).at[:hw].set(valid.astype(jnp.int32))
+        v = v.reshape(C, L)
+        within = jnp.cumsum(v, axis=1)  # (C, L) inclusive, <= L
+        chunk_cum = jnp.cumsum(within[:, -1])  # (C,) inclusive
+        n_valid = chunk_cum[-1]
+        u = jax.random.uniform(key, (n_points,))
+        g = jnp.minimum((u * n_valid).astype(jnp.int32), n_valid - 1)
+        r = g + 1  # 1-based target rank among valid pixels
+        c = jnp.sum(chunk_cum[None, :] < r[:, None], axis=1)  # (n,)
+        prior = jnp.where(c > 0, chunk_cum[jnp.maximum(c - 1, 0)], 0)
+        r_in = (r - prior).astype(jnp.int16)  # in [1, count_c] <= L
+        rows = within.astype(jnp.int16)[c]  # (n, L) gather
+        col = jnp.sum(rows < r_in[:, None], axis=1)
+        return (c * L + col).astype(jnp.int32)
 
     if method in ("packed", "compact"):
         n_valid = jnp.sum(valid.astype(jnp.int32))

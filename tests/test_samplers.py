@@ -20,7 +20,7 @@ def make_image(rng, mask_frac=0.6):
     return jnp.array(gt), jnp.array(mask)
 
 
-@pytest.mark.parametrize("draw_method", ["rejection", "compact", "packed"])
+@pytest.mark.parametrize("draw_method", ["rejection", "compact", "packed", "hier"])
 @pytest.mark.parametrize(
     "name", ["purely_masked", "masked", "thresholded", "info_score"]
 )
@@ -230,4 +230,21 @@ def test_packed_draw_identical_to_compact(rng):
         jax.random.key(7), jnp.asarray(mask), 5000, "compact"))
     b = np.asarray(_masked_uniform_points(
         jax.random.key(7), jnp.asarray(mask), 5000, "packed"))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("hw,frac", [(448 * 448, 0.7), (448 * 448, 0.03),
+                                     (1000, 0.5), (100, 1.0)])
+def test_hier_draw_identical_to_packed(rng, hw, frac):
+    """hier (chunked rank lookup, sort-free) computes 'the g-th valid pixel'
+    exactly like the compaction methods, so draws agree bit-for-bit —
+    including non-multiple-of-chunk sizes and near-empty masks."""
+    from pldepth_tpu.sampling.samplers import _masked_uniform_points
+
+    mask = (rng.uniform(size=hw) < frac).astype(np.float32)
+    mask[0] = 1.0
+    a = np.asarray(_masked_uniform_points(
+        jax.random.key(3), jnp.asarray(mask), 2500, "packed"))
+    b = np.asarray(_masked_uniform_points(
+        jax.random.key(3), jnp.asarray(mask), 2500, "hier"))
     np.testing.assert_array_equal(a, b)

@@ -24,9 +24,11 @@ import jax.numpy as jnp
 from pldepth_tpu.core.config import ExperimentConfig
 from pldepth_tpu.train import Trainer
 
-B, S = 32, 448
+B = int(os.environ.get("PLDEPTH_PROFILE_B", 32))
+S = int(os.environ.get("PLDEPTH_PROFILE_S", 448))
 cfg = ExperimentConfig(
-    model_name="ff_effnet", input_size=S, batch_size=B,
+    model_name=os.environ.get("PLDEPTH_PROFILE_MODEL", "ff_effnet"),
+    input_size=S, batch_size=B,
     ranking_size=int(os.environ.get("PLDEPTH_PROFILE_K", 25)),
     rankings_per_image=100, sampling_type=1, freeze_encoder=False,
     initial_lr=1e-3, sampler_draw_method=os.environ.get("PLDEPTH_PROFILE_DRAW", "auto"),
