@@ -94,6 +94,12 @@ class SkipConcatDecoder(nn.Module):
             # Fused tail: upsample+head collapsed into a half-res phase conv
             # (ops/fused_tail.py) — same parameters, same values (to compute-
             # dtype rounding), ~10 ms/step less full-res traffic at 448^2.
+            # NOTE: fusing conv4's preceding upsample the same way
+            # (fused_upsample2x_conv at 1/4 res) was measured SLOWER on chip
+            # (serving 25.4 vs 22.5 ms): at 32 channels the exact border
+            # patch's slice+concat of the 224^2 tensor costs more than the
+            # avoided resize — the 1-channel head is the only tail stage
+            # where the patch is near-free. See docs/BENCH.md.
             kernel, bias = _ConvParams(
                 1, (3, 3), x.shape[-1], name="head"
             )()

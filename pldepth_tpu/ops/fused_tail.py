@@ -55,19 +55,25 @@ _A = np.array(
 )
 
 
-def compose_upsample_head_kernel(w: jax.Array) -> jax.Array:
-    """Fold the bilinear-2x kernel into a (3,3,C,1) head conv kernel.
+def compose_upsample_conv_kernel(w: jax.Array) -> jax.Array:
+    """Fold the bilinear-2x kernel into a (3,3,C,F) conv kernel.
 
-    Returns the composed (3,3,C,4) kernel; output channel ``p = 2*di + dj``
-    holds the (row-phase di, col-phase dj) output so that a depth-to-space
-    reshape recovers NHWC order.
+    Returns the composed (3,3,C,4F) kernel; output channel ``p*F + f`` with
+    ``p = 2*di + dj`` holds the (row-phase di, col-phase dj) output of
+    feature ``f`` so that a depth-to-space reshape recovers NHWC order.
     """
     a = jnp.asarray(_A, dtype=jnp.float32)
-    w32 = w.astype(jnp.float32)[..., 0]  # (3, 3, C)
-    # K[di,dj,t,u,c] = sum_{a,b} w[a,b,c] A[di][a,t] A[dj][b,u]
-    k = jnp.einsum("abc,dat,ebu->detuc", w32, a, a)
-    k = k.reshape(4, 3, 3, w32.shape[-1])  # (p, 3, 3, C)
-    return jnp.transpose(k, (1, 2, 3, 0))  # (3, 3, C, 4)
+    w32 = w.astype(jnp.float32)  # (3, 3, C, F)
+    # K[di,dj,t,u,c,f] = sum_{a,b} w[a,b,c,f] A[di][a,t] A[dj][b,u]
+    k = jnp.einsum("abcf,dat,ebu->detucf", w32, a, a)
+    c, f = w32.shape[2], w32.shape[3]
+    k = k.reshape(4, 3, 3, c, f)  # (p, 3, 3, C, F)
+    return jnp.transpose(k, (1, 2, 3, 0, 4)).reshape(3, 3, c, 4 * f)
+
+
+def compose_upsample_head_kernel(w: jax.Array) -> jax.Array:
+    """(3,3,C,1) head special case of :func:`compose_upsample_conv_kernel`."""
+    return compose_upsample_conv_kernel(w)
 
 
 def _conv_same(x: jax.Array, w: jax.Array) -> jax.Array:
@@ -82,22 +88,30 @@ def _exact_tail(x: jax.Array, w: jax.Array) -> jax.Array:
     return _conv_same(upsample2x_bilinear(x), w)
 
 
-def fused_upsample2x_head(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+def fused_upsample2x_conv(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """``conv3x3(upsample2x_bilinear(x), w) + b`` without materializing the
-    upsampled tensor. x: (B, H, W, C); w: (3, 3, C, 1); b: (1,).
+    upsampled tensor. x: (B, H, W, C); w: (3, 3, C, F); b: (F,).
 
-    Returns (B, 2H, 2W, 1) in x.dtype (bias added in float32 by the caller's
-    cast if needed — here added in x.dtype to mirror nn.Conv).
+    Returns (B, 2H, 2W, F) in x.dtype (bias added in x.dtype to mirror
+    nn.Conv). For F=1 this is the depth-head tail; for F=C it can fuse an
+    interior decoder stage's upsample into the following conv. CAUTION:
+    the interior-stage use (decoder conv4, F=32 at 224^2) was MEASURED
+    SLOWER on chip than the two-step tail it replaces (serving forward
+    25.4 vs 22.5 ms/call): the exact border patch's slice+concatenate of a
+    multi-channel full tensor costs more than the avoided resize. Only the
+    1-channel head (F=1) is a measured win; the general form is kept for
+    point uses where borders don't need patching or F is small.
     """
     n, h, wd, c = x.shape
+    f = w.shape[-1]
     if h < 3 or wd < 3:  # degenerate sizes: fall back to the exact path
         return _exact_tail(x, w.astype(x.dtype)) + b.astype(x.dtype)
 
-    kc = compose_upsample_head_kernel(w).astype(x.dtype)
-    ph = _conv_same(x, kc)  # (B, H, W, 4)
-    # depth-to-space: (B, H, W, 2, 2) -> (B, H, 2, W, 2) -> (B, 2H, 2W, 1)
-    out = ph.reshape(n, h, wd, 2, 2)
-    out = out.transpose(0, 1, 3, 2, 4).reshape(n, 2 * h, 2 * wd, 1)
+    kc = compose_upsample_conv_kernel(w).astype(x.dtype)
+    ph = _conv_same(x, kc)  # (B, H, W, 4F)
+    # depth-to-space: (B,H,W,2,2,F) -> (B,H,2,W,2,F) -> (B, 2H, 2W, F)
+    out = ph.reshape(n, h, wd, 2, 2, f)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, f)
 
     # Border patch: the outermost two rows/cols see upsample edge-clamp and
     # conv zero-pad effects the composed kernel cannot express. Recompute
@@ -111,3 +125,8 @@ def fused_upsample2x_head(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array
     bottom = _exact_tail(x[:, -2:, :, :], wx)[:, -2:, :, :]
     out = jnp.concatenate([top, out[:, 2:-2, :, :], bottom], axis=1)
     return out + b.astype(x.dtype)
+
+
+def fused_upsample2x_head(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """Depth-head (F=1) alias of :func:`fused_upsample2x_conv`."""
+    return fused_upsample2x_conv(x, w, b)

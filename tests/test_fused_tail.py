@@ -33,6 +33,22 @@ def test_fused_matches_exact_f32(hw):
     np.testing.assert_allclose(np.array(got), np.array(want), rtol=2e-5, atol=2e-5)
 
 
+def test_fused_multichannel_matches_exact_f32():
+    """The generalized F>1 phase conv (fused_upsample2x_conv) is exact too
+    — kept for point uses even though the interior-stage decoder use was
+    measured slower on chip (see ops/fused_tail.py)."""
+    from pldepth_tpu.ops.fused_tail import fused_upsample2x_conv
+
+    k = jax.random.PRNGKey(5)
+    x = jax.random.normal(k, (2, 9, 7, 8), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(k, 1), (3, 3, 8, 16), jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(k, 2), (16,), jnp.float32)
+    got = fused_upsample2x_conv(x, w, b)
+    want = _exact(x, w, b)
+    assert got.shape == (2, 18, 14, 16)
+    np.testing.assert_allclose(np.array(got), np.array(want), rtol=2e-5, atol=2e-5)
+
+
 def test_fused_gradients_match_f32():
     k = jax.random.PRNGKey(2)
     x = jax.random.normal(k, (1, 8, 8, 4), jnp.float32)

@@ -2,6 +2,10 @@
 vs 'hier' (chunked rank lookup) in ONE process/session, chained-difference
 methodology (docs/BENCH.md). Usage: python -u pair_draw_bench.py"""
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import faulthandler
 import time
 
