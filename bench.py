@@ -50,6 +50,7 @@ def main() -> None:
         initial_lr=1e-3,
         sparse_tail=bool(int(os.environ.get("BENCH_SPARSE_TAIL", "0"))),
         fused_tail=bool(int(os.environ.get("BENCH_FUSED_TAIL", "1"))),
+        remat_encoder=bool(int(os.environ.get("BENCH_REMAT", "0"))),
         sampler_draw_method=os.environ.get("BENCH_DRAW", "auto"),
     )
     trainer = Trainer(cfg, steps_per_epoch=1)
