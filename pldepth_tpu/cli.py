@@ -83,6 +83,12 @@ def _reference_options(f):
         click.option("--use_tensorboard", default=False, type=click.BOOL,
                      help="also write TensorBoard event files under "
                           "<run>/tb (reference tracking_utils.py:33-39)"),
+        click.option("--use_mlflow", default=False, type=click.BOOL,
+                     help="also log params/metrics to mlflow if installed "
+                          "(reference env.py:28-37, tracking_utils.py:8-10)"),
+        click.option("--mlflow_tracking_uri", default="",
+                     help="mlflow tracking URI (reference conf/run.ini "
+                          "MLFLOW section); empty = mlflow default"),
         click.option("--profile", default=False, type=click.BOOL,
                      help="capture a jax.profiler trace of 3 steady steps"),
         click.option("--pack_cache", default="",
@@ -201,7 +207,9 @@ def train(pack_cache="", run_name="", resume=False, **kw):
     if not run_name:
         run_name = time.strftime("%d%m%y-%H%M%S") + f"_s{cfg.sampling_type}"
     logger = MetricLogger(cfg.output_dir, run_name, cfg.to_dict(), cfg.use_wandb,
-                          use_tensorboard=cfg.use_tensorboard)
+                          use_tensorboard=cfg.use_tensorboard,
+                          use_mlflow=cfg.use_mlflow,
+                          mlflow_tracking_uri=cfg.mlflow_tracking_uri)
 
     train_ds, val_ds = _load_data(cfg)
     steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
@@ -427,7 +435,9 @@ def active(rounds, split_num, sigma, pretrain_epochs, **kw):
     cfg = _make_config(kw)
     run_name = time.strftime("%d%m%y-%H%M%S") + "_active"
     logger = MetricLogger(cfg.output_dir, run_name, cfg.to_dict(), cfg.use_wandb,
-                          use_tensorboard=cfg.use_tensorboard)
+                          use_tensorboard=cfg.use_tensorboard,
+                          use_mlflow=cfg.use_mlflow,
+                          mlflow_tracking_uri=cfg.mlflow_tracking_uri)
     train_ds, val_ds = _load_data(cfg)
     trainer = Trainer(cfg, max(1, len(train_ds) // cfg.batch_size))
     state = trainer.init_state()

@@ -128,6 +128,10 @@ class ExperimentConfig:
     keep_checkpoints: int = 3
     use_wandb: bool = False
     use_tensorboard: bool = False
+    # mlflow sink (reference env.py:28-37 init_mlflow + tracking_utils.py:8-10
+    # param logging); gated on the package being importable
+    use_mlflow: bool = False
+    mlflow_tracking_uri: str = ""
     profile: bool = False
 
     # ------------------------------------------------------------------

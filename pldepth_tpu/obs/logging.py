@@ -1,13 +1,15 @@
-"""Run logging: JSONL + CSV always-on, wandb when available and requested.
+"""Run logging: JSONL + CSV always-on, wandb/mlflow/TB when requested.
 
 The reference juggled three overlapping systems — wandb (primary,
-pldepth/PLDepth.py:60-71,190-209), mlflow (mostly dormant,
-util/tracking_utils.py:8-18) and TensorBoard/CSVLogger
-(PLDepth_info_score.py:99-100). Here one MetricLogger always writes local
-JSONL (machine-readable) + CSV (spreadsheet-friendly) and *optionally*
-forwards to wandb when the package exists and the run asks for it (this
-image has no wandb; everything degrades gracefully). No API keys in code —
-the reference hardcoded one (env.py:62), explicitly not replicated.
+pldepth/PLDepth.py:60-71,190-209), mlflow (mostly dormant: tracking-uri
+init at util/env.py:28-37, param logging at util/tracking_utils.py:8-18)
+and TensorBoard/CSVLogger (PLDepth_info_score.py:99-100). Here one
+MetricLogger always writes local JSONL (machine-readable) + CSV
+(spreadsheet-friendly) and *optionally* forwards to wandb, mlflow and/or
+TensorBoard when the package exists and the run asks for it (this image
+has neither wandb nor mlflow; everything degrades gracefully). No API keys
+in code — the reference hardcoded one (env.py:62), explicitly not
+replicated.
 """
 
 from __future__ import annotations
@@ -31,6 +33,8 @@ class MetricLogger:
         use_wandb: bool = False,
         wandb_project: str = "pldepth-tpu",
         use_tensorboard: bool = False,
+        use_mlflow: bool = False,
+        mlflow_tracking_uri: str = "",
     ):
         self.dir = os.path.join(output_dir, run_name)
         os.makedirs(self.dir, exist_ok=True)
@@ -40,6 +44,7 @@ class MetricLogger:
         self._csv_file = None
         self._wandb = None
         self._tb = None
+        self._mlflow = None
         self.summary: Dict[str, Any] = {}
         if config:
             with open(os.path.join(self.dir, "config.json"), "w") as f:
@@ -62,6 +67,22 @@ class MetricLogger:
                 self._tb = SummaryWriter(log_dir=os.path.join(self.dir, "tb"))
             except Exception as e:  # pragma: no cover
                 log.warning("tensorboard requested but unavailable (%s)", e)
+        if use_mlflow:
+            # reference mlflow glue: tracking-uri init (env.py:28-37) +
+            # param-dict logging (tracking_utils.py:8-10)
+            try:
+                import mlflow  # type: ignore
+
+                if mlflow_tracking_uri:
+                    mlflow.set_tracking_uri(mlflow_tracking_uri)
+                mlflow.start_run(run_name=run_name)
+                if config:
+                    mlflow.log_params(
+                        {k: str(v)[:500] for k, v in config.items()}
+                    )
+                self._mlflow = mlflow
+            except Exception as e:  # pragma: no cover
+                log.warning("mlflow requested but unavailable (%s); local-only", e)
 
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
         rec = {"_time": time.time(), **({"step": step} if step is not None else {}),
@@ -84,6 +105,13 @@ class MetricLogger:
             for k, v in metrics.items():
                 if isinstance(v, (int, float)) and v is not None:
                     self._tb.add_scalar(k, v, global_step=step)
+        if self._mlflow is not None:
+            scalars = {
+                k: float(v) for k, v in metrics.items()
+                if isinstance(v, (int, float))
+            }
+            if scalars:
+                self._mlflow.log_metrics(scalars, step=step or 0)
 
     def set_summary(self, **kwargs):
         """wandb.run.summary equivalent (PLDepth.py:190-193)."""
@@ -97,6 +125,13 @@ class MetricLogger:
             for k, v in kwargs.items():
                 if isinstance(v, (int, float)):
                     self._tb.add_scalar(f"summary/{k}", v)
+        if self._mlflow is not None:
+            scalars = {
+                f"summary_{k}": float(v) for k, v in kwargs.items()
+                if isinstance(v, (int, float))
+            }
+            if scalars:
+                self._mlflow.log_metrics(scalars)
 
     def log_images(self, images: Dict[str, Any], captions: Optional[Dict[str, str]] = None):
         """Example-image logging (reference PLDepth.py:196-209: wandb.Image
@@ -142,3 +177,5 @@ class MetricLogger:
             self._wandb.finish()
         if self._tb is not None:
             self._tb.close()
+        if self._mlflow is not None:
+            self._mlflow.end_run()

@@ -97,6 +97,38 @@ def test_wandb_adapter_with_stub(tmp_path, monkeypatch):
     assert calls["finished"]
 
 
+def test_mlflow_adapter_with_stub(tmp_path, monkeypatch):
+    """Gated mlflow path (reference env.py:28-37 + tracking_utils.py:8-10):
+    params logged once at init, scalar metrics per step, summary metrics,
+    end_run on close — against a stub module (mlflow is not installed)."""
+    import sys
+    import types
+
+    calls = {"params": {}, "metrics": [], "uri": None, "started": None,
+             "ended": False}
+
+    stub = types.ModuleType("mlflow")
+    stub.set_tracking_uri = lambda u: calls.__setitem__("uri", u)
+    stub.start_run = lambda run_name=None: calls.__setitem__("started", run_name)
+    stub.log_params = lambda p: calls["params"].update(p)
+    stub.log_metrics = lambda m, step=None: calls["metrics"].append((m, step))
+    stub.end_run = lambda: calls.__setitem__("ended", True)
+    monkeypatch.setitem(sys.modules, "mlflow", stub)
+
+    lg = MetricLogger(str(tmp_path), "ml", config={"lr": 0.01, "k": 5},
+                      use_mlflow=True, mlflow_tracking_uri="file:/tmp/mlruns")
+    lg.log({"loss": 0.7, "note": "non-scalar skipped"}, step=2)
+    lg.set_summary(test_error=0.12)
+    lg.close()
+
+    assert calls["uri"] == "file:/tmp/mlruns"
+    assert calls["started"] == "ml"
+    assert calls["params"]["lr"] == "0.01"
+    assert ({"loss": 0.7}, 2) in calls["metrics"]
+    assert ({"summary_test_error": 0.12}, None) in calls["metrics"]
+    assert calls["ended"]
+
+
 def test_tensorboard_sink_writes_event_files(tmp_path):
     """Gated TB sink (reference tracking_utils.py:33-39 third logging
     system): scalars + images land in an event file under <run>/tb."""
