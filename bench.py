@@ -68,10 +68,16 @@ def main() -> None:
         # before the fetched value exists; the RTT cancels in the difference.
         import jax.numpy as jnp
 
+        predict_fn = (
+            trainer.predict_fused
+            if os.environ.get("BENCH_FUSED_ENC") == "1"
+            else trainer.predict
+        )
+
         def chain(n):
             def f(s, x):
                 def body(_, xc):
-                    p = trainer.predict(s, xc)
+                    p = predict_fn(s, xc)
                     return jnp.stack([p, p, p], axis=-1)
                 return jax.lax.fori_loop(0, n, body, x).sum()
             return jax.jit(f)

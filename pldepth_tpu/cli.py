@@ -465,8 +465,11 @@ def active(rounds, split_num, sigma, pretrain_epochs, **kw):
 @click.option("--input_size", default=448, type=click.INT)
 @click.option("--batch_size", default=8, type=click.INT)
 @click.option("--save_png", default=True, type=click.BOOL)
+@click.option("--fused_encoder", default=False, type=click.BOOL,
+              help="run eligible encoder blocks as fused Pallas kernels "
+                   "(ff_effnet family)")
 def predict(model_name, load_model_path, inputs, out_dir, input_size,
-            batch_size, save_png):
+            batch_size, save_png, fused_encoder):
     """Batched depth-map inference (serving path): writes <name>_depth.npy
     (+ minmax-normalized png preview) per input image."""
     import glob as globmod
@@ -482,7 +485,9 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
     cfg = ExperimentConfig(model_name=model_name, input_size=input_size)
     trainer = Trainer(cfg, steps_per_epoch=1)
     state = load_weights_npz(load_model_path, trainer.init_state())
-    predict_fn = jax.jit(trainer.predict)
+    predict_fn = jax.jit(
+        trainer.predict_fused if fused_encoder else trainer.predict
+    )
 
     if os.path.isdir(inputs):
         files = sorted(

@@ -382,6 +382,36 @@ class Trainer:
         )
         return pred[..., 0] if pred.ndim == 4 else pred
 
+    def predict_fused(self, state: TrainState, images: jax.Array) -> jax.Array:
+        """predict() with the serving encoder fused: each eligible MBConv
+        block runs as one VMEM-resident Pallas kernel (ops/fused_mbconv.py,
+        models/fused_infer.py). ff_effnet family only; other models fall
+        back to the standard path. Matches predict() to bf16 rounding."""
+        from pldepth_tpu.models.decoders import SkipConcatDecoder
+        from pldepth_tpu.models.fused_infer import encoder_infer, plan_encoder
+        from pldepth_tpu.models.pldepth_net import EffNetFullyFledged
+
+        module = self.model.module
+        if not isinstance(module, EffNetFullyFledged):
+            return self.predict(state, images)
+        x = normalize_images(jnp.asarray(images, jnp.float32), self.model.preprocess)
+        enc_p = state.params["encoder"]
+        enc_s = state.batch_stats["encoder"]
+        plans = plan_encoder(enc_p, enc_s, x.shape[1:3], module.variant)
+        top, taps = encoder_infer(enc_p, enc_s, x, plans, module.variant)
+        pred = SkipConcatDecoder(
+            dtype=module.dtype, fused_tail=module.fused_tail
+        ).apply(
+            {
+                "params": state.params["decoder"],
+                "batch_stats": state.batch_stats["decoder"],
+            },
+            top,
+            taps,
+            False,
+        )
+        return pred[..., 0] if pred.ndim == 4 else pred
+
     # ------------------------------------------------------------------
     # loops
     # ------------------------------------------------------------------
