@@ -485,9 +485,11 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
     cfg = ExperimentConfig(model_name=model_name, input_size=input_size)
     trainer = Trainer(cfg, steps_per_epoch=1)
     state = load_weights_npz(load_model_path, trainer.init_state())
-    predict_fn = jax.jit(
-        trainer.predict_fused if fused_encoder else trainer.predict
-    )
+    # serving is data-parallel over the mesh (all visible devices); the
+    # per-dispatch batch must divide evenly over the data axis
+    n_data = trainer.mesh.shape[trainer.mesh.axis_names[0]]
+    batch_size = ((batch_size + n_data - 1) // n_data) * n_data
+    predict_fn = trainer.jit_predict(fused=fused_encoder)
 
     if os.path.isdir(inputs):
         files = sorted(
@@ -507,8 +509,10 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
             for f in chunk
         ])
         pad = batch_size - len(chunk)
-        if pad:
-            imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+        if pad:  # note: pad may exceed len(chunk) after mesh rounding
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)]
+            )
         preds = np.asarray(predict_fn(state, imgs))[: len(chunk)]
         for f, d in zip(chunk, preds):
             stem = os.path.splitext(os.path.basename(f))[0]

@@ -412,6 +412,31 @@ class Trainer:
         )
         return pred[..., 0] if pred.ndim == 4 else pred
 
+    def jit_predict(self, fused: bool = False) -> Callable:
+        """Data-parallel jitted serving fn: state replicated, the image
+        batch sharded over the mesh data axis, each device running the
+        forward on its local shard. Inference is per-image (BN uses running
+        stats, SE pools per image), so ``jax.shard_map`` with no collectives
+        is exact — and, unlike GSPMD propagation, it also partitions the
+        fused Pallas path (models/fused_infer.py), whose custom calls XLA
+        cannot split on its own. The reference served strictly single-device
+        (pldepth/test_data_eval.py:30-108 per-image model.predict).
+
+        Global batch must be divisible by the data-axis size.
+        """
+        fn = self.predict_fused if fused else self.predict
+        d = self.mesh.axis_names[0]
+        if self.mesh.shape[d] <= 1:
+            return jax.jit(fn)
+        mapped = jax.shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(d)),
+            out_specs=P(d),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
     # ------------------------------------------------------------------
     # loops
     # ------------------------------------------------------------------
