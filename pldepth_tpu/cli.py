@@ -307,6 +307,8 @@ def train(pack_cache="", run_name="", resume=False, **kw):
     )
     train_iter.close()
     auto_ckpt.close()
+    if ckpt is not None:
+        ckpt.close()  # drain any in-flight async best-model save
     if history.get("preempted"):
         click.echo(
             f"preempted — resume with: --run_name {run_name} --resume true"

@@ -21,25 +21,37 @@ log = logging.getLogger(__name__)
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep: int = 3):
+    def __init__(self, directory: str, keep: int = 3, async_save: bool = True):
+        """``async_save`` (default): saves are staged and written by Orbax's
+        background thread, so the train loop resumes immediately — the
+        epoch-end checkpoint overlaps the next epoch's compute instead of
+        stalling the chips on host I/O. Safe because the train step is
+        functional (each step builds a NEW state pytree; the staged one is
+        never mutated). Callers that exit right after a save (preemption)
+        pass ``wait=True``; ``close()`` always drains."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self._async = async_save
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep, create=True, enable_async_checkpointing=False
+                max_to_keep=keep, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
         self.best_val = float("inf")
 
-    def save(self, step: int, state, metrics: Optional[dict] = None, force=False):
+    def save(self, step: int, state, metrics: Optional[dict] = None,
+             force=False, wait: bool = False):
+        state = state if self._async else jax.device_get(state)
         self._mgr.save(
             step,
-            args=ocp.args.StandardSave(jax.device_get(state)),
+            args=ocp.args.StandardSave(state),
             metrics=metrics,
             force=force,
         )
-        self._mgr.wait_until_finished()
+        if wait or not self._async:
+            self._mgr.wait_until_finished()
 
     def maybe_save_best(self, step: int, state, val_loss: float):
         """save_best_only semantics on val_loss (tracking_utils.py:27-30)."""
@@ -52,7 +64,12 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def wait(self):
+        """Block until all in-flight async saves are durably on disk."""
+        self._mgr.wait_until_finished()
+
     def restore(self, state_template, step: Optional[int] = None):
+        self._mgr.wait_until_finished()  # a just-saved step must be visible
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
@@ -62,7 +79,7 @@ class CheckpointManager:
         return restored
 
     def close(self):
-        self._mgr.close()
+        self._mgr.close()  # drains pending async saves
 
 
 def save_weights_npz(path: str, state) -> None:

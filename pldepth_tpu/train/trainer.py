@@ -542,7 +542,8 @@ class Trainer:
                 if preempted:
                     if ckpt is not None:
                         step_now = int(jax.device_get(state.step))
-                        ckpt.save(step_now, state, force=True)
+                        # the process exits right after: block until durable
+                        ckpt.save(step_now, state, force=True, wait=True)
                         log.warning("preemption checkpoint saved at step %d", step_now)
                     history["preempted"] = True
                     break

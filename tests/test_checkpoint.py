@@ -88,3 +88,23 @@ def test_weights_npz_roundtrip(trained, tmp_path):
         np.asarray(jax.device_get(state.params["decoder"]["head"]["kernel"])),
         np.asarray(jax.device_get(warm.params["decoder"]["head"]["kernel"])),
     )
+
+
+def test_async_save_drains_on_close(trained, tmp_path):
+    """Async mode (the default): restore() sees a just-enqueued save, and
+    close() drains in-flight writes so a reopened manager sees them."""
+    trainer, state = trained
+    mgr = CheckpointManager(str(tmp_path / "async"), keep=2, async_save=True)
+    mgr.save(1, state)
+    restored = mgr.restore(trainer.init_state())  # waits internally
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state.params)),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # enqueue another save and close immediately: close() must drain it
+    mgr.save(2, state, force=True)
+    mgr.close()
+    mgr2 = CheckpointManager(str(tmp_path / "async"), keep=2)
+    assert mgr2.latest_step() == 2
+    mgr2.close()
