@@ -31,8 +31,16 @@ class Evaluator:
     def __init__(self, trainer, state, eval_batch_size: int = 8):
         self.trainer = trainer
         self.state = state
-        self.batch_size = eval_batch_size
-        self._predict = jax.jit(trainer.predict)
+        # data-parallel over the trainer's mesh; the dispatch batch must
+        # divide evenly over the data axis. Duck-typed: any object with a
+        # predict(state, images) works (model-free predictors in tests).
+        if hasattr(trainer, "jit_predict"):
+            n_data = trainer.mesh.shape[trainer.mesh.axis_names[0]]
+            self._predict = trainer.jit_predict()
+        else:
+            n_data = 1
+            self._predict = jax.jit(trainer.predict)
+        self.batch_size = ((eval_batch_size + n_data - 1) // n_data) * n_data
 
     def _predict_dataset(self, ds: DepthDataset, limit: Optional[int] = None):
         n = min(len(ds), limit) if limit else len(ds)
@@ -41,8 +49,10 @@ class Evaluator:
             items = [ds[i] for i in idxs]
             images = np.stack([s["image"] for s in items])
             pad = self.batch_size - images.shape[0]
-            if pad:
-                images = np.concatenate([images, np.zeros_like(images[:pad])])
+            if pad:  # fixed-shape dispatch: one compile regardless of tail
+                images = np.concatenate(
+                    [images, np.zeros((pad, *images.shape[1:]), images.dtype)]
+                )
             preds = np.asarray(self._predict(self.state, images))
             for j, s in enumerate(items):
                 yield preds[j], s["gt"]
@@ -129,8 +139,12 @@ class Evaluator:
             gts = np.stack([np.squeeze(np.asarray(s["gt"])) for s in items])
             pad = self.batch_size - images.shape[0]
             if pad:  # keep one compiled shape; padded rows are discarded
-                images = np.concatenate([images, np.zeros_like(images[:pad])])
-                gts = np.concatenate([gts, np.ones_like(gts[:pad])])
+                images = np.concatenate(
+                    [images, np.zeros((pad, *images.shape[1:]), images.dtype)]
+                )
+                gts = np.concatenate(
+                    [gts, np.ones((pad, *gts.shape[1:]), gts.dtype)]
+                )
             preds = self._predict(self.state, images)
             m = eval_metrics_batch(
                 jax.random.fold_in(key, bi),
