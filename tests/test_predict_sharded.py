@@ -76,3 +76,31 @@ def test_cli_predict_rounds_batch_to_mesh(setup, tmp_path):
     preds = sorted(out_dir.glob("*_depth.npy"))
     assert len(preds) == 3
     assert np.load(preds[0]).shape == (64, 64)
+
+
+def test_cli_eval_device_metrics(setup, tmp_path):
+    """`cli eval` end-to-end on the mesh: synthetic dataset, device-batched
+    metrics, report keys and ranges."""
+    import json
+
+    from click.testing import CliRunner
+
+    from pldepth_tpu.cli import cli
+    from pldepth_tpu.train.checkpoint import save_weights_npz
+
+    _, tr8, state, _ = setup
+    wpath = str(tmp_path / "w.npz")
+    save_weights_npz(wpath, state)
+    res = CliRunner().invoke(
+        cli,
+        ["eval", "--model_name", "ff_effnet", "--input_size", "64",
+         "--dataset", "synthetic", "--limit", "8",
+         "--device_metrics", "true", "--load_model_path", wpath],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    report = json.loads(res.output[res.output.index("{"):])
+    assert set(report) == {"test_error", "whdr_tau_0.03", "ndcg_200"}
+    assert 0.0 <= report["test_error"] <= 1.0
+    # the reference's NDCG quirk can exceed 1 (eval/metrics.py ndcg_at_k)
+    assert report["ndcg_200"] > 0.0
