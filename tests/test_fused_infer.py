@@ -9,8 +9,8 @@ from pldepth_tpu.models.efficientnet import EfficientNetEncoder
 from pldepth_tpu.models import fused_infer
 
 
-def _init_encoder(size=64, batch=2, seed=0):
-    enc = EfficientNetEncoder(variant="b0")
+def _init_encoder(size=64, batch=2, seed=0, variant="b0"):
+    enc = EfficientNetEncoder(variant=variant)
     x = jax.random.normal(jax.random.PRNGKey(seed), (batch, size, size, 3))
     x = (x * 0.3).astype(jnp.bfloat16)
     variables = enc.init(jax.random.PRNGKey(1), x, False)
@@ -91,6 +91,26 @@ def test_trainer_predict_fused_matches_predict():
     rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-9)
     assert a.shape == b.shape == (2, 64, 64)
     assert rel < 0.03, rel
+
+
+def test_scaled_variant_b1_matches():
+    """The fused planner resolves width/depth scaling: b1 parity too
+    (the --fused_encoder flag covers the whole ff_effnet family)."""
+    enc, variables, x = _init_encoder(variant="b1")
+    plans = fused_infer.plan_encoder(
+        variables["params"], variables["batch_stats"],
+        (x.shape[1], x.shape[2]), "b1", vmem_budget=1 << 62,
+    )
+    top_f, taps_f = fused_infer.encoder_infer(
+        variables["params"], variables["batch_stats"], x, plans, "b1"
+    )
+    top_r, taps_r = enc.apply(variables, x, False)
+    for a, b in [(top_f, top_r)] + [(taps_f[k], taps_r[k]) for k in taps_r]:
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+        assert rel < 0.03, rel
+    assert any(p.fused for p in plans)
 
 
 def test_plan_vmem_gate():
