@@ -489,8 +489,9 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
     state = load_weights_npz(load_model_path, trainer.init_state())
     # serving is data-parallel over the mesh (all visible devices); the
     # per-dispatch batch must divide evenly over the data axis
-    n_data = trainer.mesh.shape[trainer.mesh.axis_names[0]]
-    batch_size = ((batch_size + n_data - 1) // n_data) * n_data
+    from pldepth_tpu.core.mesh import pad_to_batch, round_batch
+
+    batch_size = round_batch(batch_size, trainer.mesh)
     predict_fn = trainer.jit_predict(fused=fused_encoder)
 
     if os.path.isdir(inputs):
@@ -510,11 +511,7 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
             dio.resize_bilinear(dio.read_image(f, 3), (input_size, input_size))
             for f in chunk
         ])
-        pad = batch_size - len(chunk)
-        if pad:  # note: pad may exceed len(chunk) after mesh rounding
-            imgs = np.concatenate(
-                [imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)]
-            )
+        imgs = pad_to_batch(imgs, batch_size)
         preds = np.asarray(predict_fn(state, imgs))[: len(chunk)]
         for f, d in zip(chunk, preds):
             stem = os.path.splitext(os.path.basename(f))[0]

@@ -70,6 +70,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def round_batch(batch_size: int, mesh: Mesh) -> int:
+    """Round a dispatch batch up to a multiple of the data-axis size (the
+    sharded-serving batch must divide evenly over the mesh)."""
+    n = mesh.shape[mesh.axis_names[0]]
+    return ((batch_size + n - 1) // n) * n
+
+
+def pad_to_batch(a: np.ndarray, batch_size: int, fill: float = 0.0) -> np.ndarray:
+    """Pad the leading axis up to ``batch_size`` with ``fill`` so every
+    dispatch keeps ONE compiled shape (the pad can exceed the tail length,
+    which ``zeros_like(a[:pad])``-style padding silently got wrong)."""
+    pad = batch_size - a.shape[0]
+    if pad <= 0:
+        return a
+    return np.concatenate(
+        [a, np.full((pad, *a.shape[1:]), fill, a.dtype)]
+    )
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a pytree of host arrays onto the mesh, batch-sharded on dim 0."""
     def put(x):

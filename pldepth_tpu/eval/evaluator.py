@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pldepth_tpu.core.mesh import pad_to_batch, round_batch
 from pldepth_tpu.data.datasets import DepthDataset
 from pldepth_tpu.eval import metrics as M
 from pldepth_tpu.eval.device_metrics import eval_metrics_batch
@@ -35,12 +36,11 @@ class Evaluator:
         # divide evenly over the data axis. Duck-typed: any object with a
         # predict(state, images) works (model-free predictors in tests).
         if hasattr(trainer, "jit_predict"):
-            n_data = trainer.mesh.shape[trainer.mesh.axis_names[0]]
             self._predict = trainer.jit_predict()
+            self.batch_size = round_batch(eval_batch_size, trainer.mesh)
         else:
-            n_data = 1
             self._predict = jax.jit(trainer.predict)
-        self.batch_size = ((eval_batch_size + n_data - 1) // n_data) * n_data
+            self.batch_size = eval_batch_size
 
     def _predict_dataset(self, ds: DepthDataset, limit: Optional[int] = None):
         n = min(len(ds), limit) if limit else len(ds)
@@ -48,11 +48,7 @@ class Evaluator:
             idxs = range(start, min(start + self.batch_size, n))
             items = [ds[i] for i in idxs]
             images = np.stack([s["image"] for s in items])
-            pad = self.batch_size - images.shape[0]
-            if pad:  # fixed-shape dispatch: one compile regardless of tail
-                images = np.concatenate(
-                    [images, np.zeros((pad, *images.shape[1:]), images.dtype)]
-                )
+            images = pad_to_batch(images, self.batch_size)
             preds = np.asarray(self._predict(self.state, images))
             for j, s in enumerate(items):
                 yield preds[j], s["gt"]
@@ -137,14 +133,9 @@ class Evaluator:
             items = [ds[i] for i in range(start, min(start + self.batch_size, n))]
             images = np.stack([s["image"] for s in items])
             gts = np.stack([np.squeeze(np.asarray(s["gt"])) for s in items])
-            pad = self.batch_size - images.shape[0]
-            if pad:  # keep one compiled shape; padded rows are discarded
-                images = np.concatenate(
-                    [images, np.zeros((pad, *images.shape[1:]), images.dtype)]
-                )
-                gts = np.concatenate(
-                    [gts, np.ones((pad, *gts.shape[1:]), gts.dtype)]
-                )
+            # keep one compiled shape; padded rows are discarded
+            images = pad_to_batch(images, self.batch_size)
+            gts = pad_to_batch(gts, self.batch_size, fill=1.0)
             preds = self._predict(self.state, images)
             m = eval_metrics_batch(
                 jax.random.fold_in(key, bi),

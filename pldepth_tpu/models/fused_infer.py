@@ -19,7 +19,6 @@ Both paths consume the same folded-BN parameter bundles and agree with
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, NamedTuple, Tuple
 
 import jax
@@ -85,11 +84,13 @@ def extract_block_params(blk_p, blk_s) -> MBConvParams:
 
 
 def _block_vmem_bytes(h: int, w: int, cin: int, ce: int, cout: int,
-                      has_expand: bool) -> int:
+                      has_expand: bool, itemsize: int = 2) -> int:
     acc = h * w * ce * 4  # f32 depthwise accumulator
     tmp = h * w * ce * 4  # one rolled/masked f32 temporary
-    scratch = h * w * ce * 2 if has_expand else 0  # bf16 expanded scratch
-    io = h * w * cin * 2 + h * w * cout * 2
+    # expanded scratch in the compute dtype (the kernel allocates a token
+    # 1x1 scratch when expand==1; negligible)
+    scratch = h * w * ce * itemsize if has_expand else 0
+    io = (h * w * cin + h * w * cout) * itemsize
     return acc + tmp + scratch + io
 
 
@@ -99,8 +100,10 @@ def plan_encoder(
     input_hw: Tuple[int, int],
     variant: str = "b0",
     vmem_budget: int = DEFAULT_VMEM_BUDGET,
+    dtype: Any = jnp.bfloat16,
 ) -> List[BlockPlan]:
     """Static per-block execution plan (fused vs XLA) for one input size."""
+    itemsize = jnp.dtype(dtype).itemsize
     width, depth = VARIANTS[variant]
     h, w = input_hw[0] // 2, input_hw[1] // 2  # after the stride-2 stem
     in_ch = round_filters(32, width)
@@ -118,7 +121,9 @@ def plan_encoder(
                 else None
             )
             ce = in_ch * expand
-            est = _block_vmem_bytes(h, w, in_ch, ce, out_ch, expand != 1)
+            est = _block_vmem_bytes(
+                h, w, in_ch, ce, out_ch, expand != 1, itemsize
+            )
             fused = tap is None and est <= vmem_budget
             plans.append(
                 BlockPlan(
@@ -170,13 +175,13 @@ def encoder_infer(
     enc_stats: Dict[str, Any],
     x: jax.Array,
     plans: List[BlockPlan],
-    variant: str = "b0",
+    dtype: Any = jnp.bfloat16,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Inference encoder forward. Returns (top, taps) exactly like
-    ``EfficientNetEncoder.__call__`` with train=False."""
-    width, _ = VARIANTS[variant]
-    dt = jnp.bfloat16
-    x = x.astype(dt)
+    ``EfficientNetEncoder.__call__`` with train=False for a model whose
+    compute dtype is ``dtype`` (the Flax encoder computes in module.dtype;
+    hardcoding bf16 here would silently downgrade float32 models)."""
+    x = x.astype(dtype)
     s, t = _affine(enc_params["stem_bn"], enc_stats["stem_bn"])
     x = _conv_bn_swish(x, enc_params["stem_conv"]["kernel"], s, t, 2)
 

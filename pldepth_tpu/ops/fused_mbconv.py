@@ -199,7 +199,11 @@ def fused_mbconv_infer(
         out_specs=pl.BlockSpec((1, ho, wo, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ho, wo, cout), dt),
-        scratch_shapes=[pltpu.VMEM((hh, ww, ce), dt)],
+        # token scratch when expand==1: the kernel never touches it, and the
+        # planner's VMEM estimate counts it only for expanding blocks
+        scratch_shapes=[
+            pltpu.VMEM((hh, ww, ce) if has_expand else (1, 1, ce), dt)
+        ],
         interpret=_interpret(),
     )(
         x, we, e_s, e_t,

@@ -397,8 +397,10 @@ class Trainer:
         x = normalize_images(jnp.asarray(images, jnp.float32), self.model.preprocess)
         enc_p = state.params["encoder"]
         enc_s = state.batch_stats["encoder"]
-        plans = plan_encoder(enc_p, enc_s, x.shape[1:3], module.variant)
-        top, taps = encoder_infer(enc_p, enc_s, x, plans, module.variant)
+        plans = plan_encoder(
+            enc_p, enc_s, x.shape[1:3], module.variant, dtype=module.dtype
+        )
+        top, taps = encoder_infer(enc_p, enc_s, x, plans, dtype=module.dtype)
         pred = SkipConcatDecoder(
             dtype=module.dtype, fused_tail=module.fused_tail
         ).apply(

@@ -40,7 +40,7 @@ def _run_and_compare(variables, x, enc, vmem_budget):
         (x.shape[1], x.shape[2]), "b0", vmem_budget=vmem_budget,
     )
     top_f, taps_f = fused_infer.encoder_infer(
-        variables["params"], variables["batch_stats"], x, plans, "b0"
+        variables["params"], variables["batch_stats"], x, plans
     )
     top_r, taps_r = enc.apply(variables, x, False)
     for name, (a, b) in {
@@ -102,7 +102,7 @@ def test_scaled_variant_b1_matches():
         (x.shape[1], x.shape[2]), "b1", vmem_budget=1 << 62,
     )
     top_f, taps_f = fused_infer.encoder_infer(
-        variables["params"], variables["batch_stats"], x, plans, "b1"
+        variables["params"], variables["batch_stats"], x, plans
     )
     top_r, taps_r = enc.apply(variables, x, False)
     for a, b in [(top_f, top_r)] + [(taps_f[k], taps_r[k]) for k in taps_r]:
@@ -111,6 +111,31 @@ def test_scaled_variant_b1_matches():
         rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
         assert rel < 0.03, rel
     assert any(p.fused for p in plans)
+
+
+def test_float32_model_keeps_precision():
+    """A float32 model served fused must match predict() tightly — the
+    fused path computes in module.dtype, not hardcoded bf16."""
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.core.mesh import make_mesh
+    from pldepth_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model_name="ff_effnet", input_size=64, batch_size=2,
+        compute_dtype="float32",
+    )
+    trainer = Trainer(
+        cfg, steps_per_epoch=1, mesh=make_mesh(devices=jax.devices()[:1])
+    )
+    state = trainer.init_state()
+    imgs = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3)) * 255,
+        np.float32,
+    )
+    a = np.asarray(jax.jit(trainer.predict)(state, imgs), np.float32)
+    b = np.asarray(jax.jit(trainer.predict_fused)(state, imgs), np.float32)
+    rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-9)
+    assert rel < 2e-4, rel  # f32 reassociation only, no bf16 rounding
 
 
 def test_plan_vmem_gate():
