@@ -28,9 +28,48 @@ import time
 import numpy as np
 
 
+def _attach_watchdog(seconds: int = 900) -> None:
+    """A dead TPU tunnel makes the first jax call hang forever at ~0 CPU
+    (client retry loop; see .claude/skills/verify/SKILL.md "Tunnel outage
+    diagnosis"). Fail loudly instead so the caller gets a diagnosis, not a
+    silent multi-hour hang. The timer is cancelled once devices attach."""
+    import faulthandler
+    import threading
+
+    def bail():
+        print(
+            json.dumps(
+                {
+                    "metric": "ERROR: TPU device attach timed out",
+                    "value": None,
+                    "unit": f"no devices after {seconds}s — tunnel down?",
+                    "vs_baseline": None,
+                }
+            ),
+            file=sys.stderr,
+        )
+        faulthandler.dump_traceback(file=sys.stderr)
+        os._exit(17)
+
+    t = threading.Timer(seconds, bail)
+    t.daemon = True
+    t.start()
+    _attach_watchdog.cancel = t.cancel
+
+
 def main() -> None:
+    _attach_watchdog(int(os.environ.get("BENCH_ATTACH_TIMEOUT", 900)))
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # CPU smoke path. NOTE: the JAX_PLATFORMS=cpu env var is NOT enough
+        # in this environment — plugin discovery still touches the axon
+        # backend and hangs when the tunnel is down; the config update
+        # bypasses it (same trick as tests/conftest.py).
+        jax.config.update("jax_platforms", "cpu")
+    jax.devices()  # force backend init under the watchdog
+    _attach_watchdog.cancel()
 
     from pldepth_tpu.core.config import ExperimentConfig
     from pldepth_tpu.data import BatchIterator, SyntheticDepthDataset

@@ -34,22 +34,19 @@ def active_learning_round(
 
     Returns (images (N,H,W,3), rankings (N, L, K, 2), stats dict).
     """
+    from pldepth_tpu.core.mesh import pad_to_batch, round_batch
+
     k = trainer.cfg.ranking_size
     rng = np.random.default_rng(seed)
     images, rankings, means, variances = [], [], [], []
-    predict = jax.jit(trainer.predict)
+    predict = trainer.jit_predict()  # data-parallel over the trainer's mesh
+    predict_batch = round_batch(predict_batch, trainer.mesh)
 
     n = len(ds)
     for start in range(0, n, predict_batch):
         items = [ds[i] for i in range(start, min(start + predict_batch, n))]
         imgs = np.stack([s["image"] for s in items])
-        pad = predict_batch - imgs.shape[0]
-        preds = np.asarray(
-            predict(
-                state,
-                np.concatenate([imgs, np.zeros_like(imgs[:pad])]) if pad else imgs,
-            )
-        )
+        preds = np.asarray(predict(state, pad_to_batch(imgs, predict_batch)))
         for j, s in enumerate(items):
             pos, pts, m, v = acquire_pixels(s["image"], preds[j], split, sigma)
             lists = oracle_label(s["gt"], pts, k, rng)
