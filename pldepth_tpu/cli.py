@@ -526,6 +526,40 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
 
 
 @cli.command()
+@click.option("--model_name", default="ff_effnet")
+@click.option("--load_model_path", required=True)
+@click.option("--out", required=True, help="output artifact path (.plx)")
+@click.option("--input_size", default=448, type=click.INT)
+@click.option("--batch_size", default=8, type=click.INT)
+@click.option("--platforms", default="tpu,cpu",
+              help="comma-separated lowering targets")
+def export(model_name, load_model_path, out, input_size, batch_size,
+           platforms):
+    """Serialize the inference forward (weights baked in) to a portable
+    StableHLO artifact via jax.export — serve without model code or
+    checkpoints (pldepth_tpu/serve/export.py)."""
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.core.mesh import make_mesh
+    from pldepth_tpu.serve import export_predict
+    from pldepth_tpu.train import Trainer
+    from pldepth_tpu.train.checkpoint import load_weights_npz
+
+    import jax
+
+    cfg = ExperimentConfig(model_name=model_name, input_size=input_size)
+    # single-device semantics: the artifact carries no mesh assumptions —
+    # the serving process shards batches however it likes
+    trainer = Trainer(cfg, steps_per_epoch=1,
+                      mesh=make_mesh(devices=jax.devices()[:1]))
+    state = load_weights_npz(load_model_path, trainer.init_state())
+    export_predict(trainer, state, batch_size, out,
+                   platforms=tuple(p.strip() for p in platforms.split(",")))
+    click.echo(json.dumps({"out": out, "platforms": platforms,
+                           "batch_size": batch_size,
+                           "input_size": input_size}))
+
+
+@cli.command()
 @_reference_options
 @click.option("--out_dir", required=True)
 @click.option("--image_format", default="jpg", type=click.Choice(["jpg", "npz"]))

@@ -87,6 +87,15 @@ def main() -> None:
     loss = float(jax.device_get(metrics.loss))
     assert np.isfinite(loss)
     assert bool(jax.device_get(metrics.finite))
+
+    # sharded serving across processes: shard_map'd forward on the global
+    # batch; each process checks its addressable output shards
+    pred = trainer.jit_predict()(state, batch["image"])
+    assert pred.shape == (4 * num_procs, size, size)
+    local = np.concatenate([np.asarray(s.data) for s in pred.addressable_shards])
+    assert local.shape[0] == 4 and np.isfinite(local).all()
+    print(f"[{proc_id}] serving sum={float(local.sum()):.6g}", flush=True)
+
     # replicated output: every process must report the identical loss
     print(f"CHILD {proc_id} OK loss={loss:.8f}", flush=True)
 
