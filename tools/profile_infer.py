@@ -38,7 +38,9 @@ state = tr.init_state()
 rng = np.random.default_rng(0)
 images = jax.device_put(rng.random((B, S, S, 3), np.float32).astype(np.float32))
 
-pred_fn = jax.jit(tr.predict)
+pred_fn = jax.jit(
+    tr.predict_fused if os.environ.get("P_FUSED_ENC") == "1" else tr.predict
+)
 out = pred_fn(state, images)
 print("warm pred", out.shape, out.dtype, float(out.mean()), flush=True)
 
