@@ -37,17 +37,18 @@ def _attach_watchdog(seconds: int = 900) -> None:
     import threading
 
     def bail():
-        print(
-            json.dumps(
-                {
-                    "metric": "ERROR: TPU device attach timed out",
-                    "value": None,
-                    "unit": f"no devices after {seconds}s — tunnel down?",
-                    "vs_baseline": None,
-                }
-            ),
-            file=sys.stderr,
+        line = json.dumps(
+            {
+                "metric": "ERROR: TPU device attach timed out",
+                "value": None,
+                "unit": f"no devices after {seconds}s — tunnel down?",
+                "vs_baseline": None,
+            }
         )
+        # stdout too: the caller records stdout, and a dead tunnel should
+        # leave a diagnosis in the record, not an empty file.
+        print(line, flush=True)
+        print(line, file=sys.stderr)
         faulthandler.dump_traceback(file=sys.stderr)
         os._exit(17)
 
@@ -68,6 +69,16 @@ def main() -> None:
         # backend and hangs when the tunnel is down; the config update
         # bypasses it (same trick as tests/conftest.py).
         jax.config.update("jax_platforms", "cpu")
+
+    # Persistent compilation cache (same location as the CLI): repeated bench
+    # runs at an unchanged config skip the minutes-long train-step compile.
+    cache = os.environ.get(
+        "PLDEPTH_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "pldepth_tpu", "jax"),
+    )
+    if cache and cache != "0":
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     jax.devices()  # force backend init under the watchdog
     _attach_watchdog.cancel()
 

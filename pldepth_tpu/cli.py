@@ -505,15 +505,21 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
         raise click.UsageError(f"no images under {inputs}")
     os.makedirs(out_dir, exist_ok=True)
 
-    for start in range(0, len(files), batch_size):
-        chunk = files[start : start + batch_size]
+    # decode ∥ device compute ∥ write (serve/pipeline.py): the device stays
+    # busy while the host decodes the next chunk and writes the previous one.
+    from pldepth_tpu.serve.pipeline import run_pipeline
+
+    chunks = [files[s : s + batch_size] for s in range(0, len(files), batch_size)]
+
+    def decode(chunk):
         imgs = np.stack([
             dio.resize_bilinear(dio.read_image(f, 3), (input_size, input_size))
             for f in chunk
         ])
-        imgs = pad_to_batch(imgs, batch_size)
-        preds = np.asarray(predict_fn(state, imgs))[: len(chunk)]
-        for f, d in zip(chunk, preds):
+        return pad_to_batch(imgs, batch_size)
+
+    def write(chunk, preds):
+        for f, d in zip(chunk, preds[: len(chunk)]):
             stem = os.path.splitext(os.path.basename(f))[0]
             np.save(os.path.join(out_dir, f"{stem}_depth.npy"), d)
             if save_png:
@@ -522,6 +528,8 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
                 lo, hi = float(d.min()), float(d.max())
                 u8 = ((d - lo) / max(hi - lo, 1e-9) * 255).astype(np.uint8)
                 Image.fromarray(u8).save(os.path.join(out_dir, f"{stem}_depth.png"))
+
+    run_pipeline(chunks, decode, lambda imgs: predict_fn(state, imgs), write)
     click.echo(json.dumps({"n": len(files), "out_dir": out_dir}))
 
 
@@ -530,7 +538,9 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
 @click.option("--load_model_path", required=True)
 @click.option("--out", required=True, help="output artifact path (.plx)")
 @click.option("--input_size", default=448, type=click.INT)
-@click.option("--batch_size", default=8, type=click.INT)
+@click.option("--batch_size", default=8, type=click.INT,
+              help="fixed serving batch; 0 = batch-polymorphic artifact "
+                   "(symbolic leading dim, any batch at call time)")
 @click.option("--platforms", default="tpu,cpu",
               help="comma-separated lowering targets")
 def export(model_name, load_model_path, out, input_size, batch_size,

@@ -45,21 +45,32 @@ def export_predict(
     0-255 images; normalization is inside the graph) and returns the
     ``(batch_size, H, W)`` depth map. Multi-platform lowering by default so
     one artifact serves TPU fleets and CPU canaries alike.
+
+    ``batch_size <= 0`` exports a batch-polymorphic artifact (symbolic
+    leading dim): one file serves any batch size, at the cost of the
+    serving runtime compiling per concrete shape it encounters. The
+    depth forward is shape-safe under a symbolic batch (convs, inference
+    BN and the SE global pool are all per-image).
     """
     size = trainer.cfg.input_size
 
     def fn(images):
         return trainer.predict(state, images)
 
+    if batch_size and batch_size > 0:
+        bdim: object = batch_size
+    else:
+        (bdim,) = jax_export.symbolic_shape("b")
     exp = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
-        jax.ShapeDtypeStruct((batch_size, size, size, 3), np.float32)
+        jax.ShapeDtypeStruct((bdim, size, size, 3), np.float32)
     )
     blob = exp.serialize()
     meta = {
         "version": _VERSION,
         "model_name": trainer.cfg.model_name,
         "input_size": size,
-        "batch_size": batch_size,
+        # None = batch-polymorphic: any leading dim at call time
+        "batch_size": batch_size if batch_size and batch_size > 0 else None,
         "platforms": list(exp.platforms),
     }
     meta_b = json.dumps(meta).encode()

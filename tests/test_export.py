@@ -38,6 +38,24 @@ def test_export_roundtrip_matches_predict(setup, tmp_path):
     assert rel < 0.03, rel
 
 
+def test_export_batch_polymorphic(setup, tmp_path):
+    """batch_size=0 exports a symbolic leading dim: one artifact, any
+    batch at call time."""
+    tr, state, imgs = setup
+    path = str(tmp_path / "poly.plx")
+    export_predict(tr, state, batch_size=0, path=path, platforms=("cpu",))
+    call, meta = load_exported(path)
+    assert meta["batch_size"] is None
+    for n in (1, 2, 3):
+        batch = np.broadcast_to(imgs[:1], (n, 64, 64, 3)).copy()
+        out = np.asarray(call(batch), np.float32)
+        assert out.shape == (n, 64, 64) and np.isfinite(out).all()
+    ref = np.asarray(jax.jit(tr.predict)(state, imgs), np.float32)
+    got = np.asarray(call(imgs), np.float32)
+    rel = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+    assert rel < 0.03, rel
+
+
 def test_export_multi_platform_lowering(setup, tmp_path):
     """tpu+cpu lowering must serialize (the portable default)."""
     tr, state, _ = setup
