@@ -535,6 +535,72 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
 
 @cli.command()
 @click.option("--model_name", default="ff_effnet")
+@click.option("--load_model_path", default="",
+              help="weights .npz (live model source)")
+@click.option("--artifact", default="",
+              help="exported .plx artifact (serve without model code)")
+@click.option("--watch_dir", required=True)
+@click.option("--out_dir", required=True)
+@click.option("--input_size", default=448, type=click.INT)
+@click.option("--batch_size", default=8, type=click.INT)
+@click.option("--save_png", default=False, type=click.BOOL)
+@click.option("--poll_interval", default=0.5, type=click.FLOAT)
+@click.option("--once", default=False, type=click.BOOL,
+              help="process the current backlog and exit")
+@click.option("--fused_encoder", default=False, type=click.BOOL)
+def serve(model_name, load_model_path, artifact, watch_dir, out_dir,
+          input_size, batch_size, save_png, poll_interval, once,
+          fused_encoder):
+    """Serving daemon: watch a directory, write depth maps for new images.
+
+    Model source is either --load_model_path (data-parallel sharded forward
+    over every visible chip) or --artifact (AOT StableHLO export; no model
+    code needed). New files dispatch once their size is stable across two
+    polls; decode/compute/write overlap (serve/pipeline.py)."""
+    import numpy as np
+
+    from pldepth_tpu.serve.daemon import artifact_infer, serve_directory
+
+    if bool(load_model_path) == bool(artifact):
+        raise click.UsageError("pass exactly one of --load_model_path / --artifact")
+
+    if artifact:
+        infer, meta = artifact_infer(artifact)
+        input_size = meta["input_size"]
+        fixed = meta.get("batch_size")
+        if fixed:  # fixed-batch artifact: tail chunks must pad to its shape
+            batch_size = fixed
+            pad = lambda a: np.concatenate(
+                [a, np.zeros((fixed - len(a), *a.shape[1:]), a.dtype)]
+            ) if len(a) < fixed else a
+        else:  # batch-polymorphic artifact
+            pad = None
+    else:
+        import jax  # noqa: F401  (backend init before Trainer)
+
+        from pldepth_tpu.core.config import ExperimentConfig
+        from pldepth_tpu.core.mesh import pad_to_batch, round_batch
+        from pldepth_tpu.train import Trainer
+        from pldepth_tpu.train.checkpoint import load_weights_npz
+
+        cfg = ExperimentConfig(model_name=model_name, input_size=input_size)
+        trainer = Trainer(cfg, steps_per_epoch=1)
+        state = load_weights_npz(load_model_path, trainer.init_state())
+        batch_size = round_batch(batch_size, trainer.mesh)
+        predict_fn = trainer.jit_predict(fused=fused_encoder)
+        infer = lambda imgs: predict_fn(state, imgs)
+        pad = lambda a: pad_to_batch(a, batch_size)
+
+    n = serve_directory(
+        watch_dir, out_dir, infer, input_size, batch_size,
+        pad_batch=pad, save_png=save_png, poll_interval=poll_interval,
+        once=once,
+    )
+    click.echo(json.dumps({"processed": n, "out_dir": out_dir}))
+
+
+@cli.command()
+@click.option("--model_name", default="ff_effnet")
 @click.option("--load_model_path", required=True)
 @click.option("--out", required=True, help="output artifact path (.plx)")
 @click.option("--input_size", default=448, type=click.INT)
