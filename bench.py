@@ -70,15 +70,11 @@ def main() -> None:
         # bypasses it (same trick as tests/conftest.py).
         jax.config.update("jax_platforms", "cpu")
 
-    # Persistent compilation cache (same location as the CLI): repeated bench
-    # runs at an unchanged config skip the minutes-long train-step compile.
-    cache = os.environ.get(
-        "PLDEPTH_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "pldepth_tpu", "jax"),
-    )
-    if cache and cache != "0":
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # Persistent compilation cache (shared with the CLI, core/cache.py):
+    # repeated bench runs at an unchanged config skip the full recompile.
+    from pldepth_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     jax.devices()  # force backend init under the watchdog
     _attach_watchdog.cancel()
 

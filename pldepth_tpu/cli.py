@@ -168,21 +168,10 @@ def cli():
         level=os.environ.get("PLDEPTH_LOG", "INFO"),
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
-    # Persistent compilation cache: a 448^2 train-step compile takes minutes;
-    # identical re-runs (restarts, sweeps, eval-after-train) hit disk instead.
-    # Opt out with PLDEPTH_JAX_CACHE=0.
-    cache = os.environ.get(
-        "PLDEPTH_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "pldepth_tpu", "jax"),
-    )
-    if cache and cache != "0":
-        try:
-            import jax
+    # Persistent compilation cache (core/cache.py; PLDEPTH_JAX_CACHE=0 opts out)
+    from pldepth_tpu.core.cache import enable_compilation_cache
 
-            jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-        except Exception as e:  # pragma: no cover
-            logging.getLogger(__name__).warning("compilation cache off: %s", e)
+    enable_compilation_cache()
 
 
 @cli.command()
@@ -507,29 +496,21 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
 
     # decode ∥ device compute ∥ write (serve/pipeline.py): the device stays
     # busy while the host decodes the next chunk and writes the previous one.
-    from pldepth_tpu.serve.pipeline import run_pipeline
+    from pldepth_tpu.serve.pipeline import (
+        decode_image_chunk,
+        depth_writer,
+        run_pipeline,
+        unique_stems,
+    )
 
     chunks = [files[s : s + batch_size] for s in range(0, len(files), batch_size)]
-
-    def decode(chunk):
-        imgs = np.stack([
-            dio.resize_bilinear(dio.read_image(f, 3), (input_size, input_size))
-            for f in chunk
-        ])
-        return pad_to_batch(imgs, batch_size)
-
-    def write(chunk, preds):
-        for f, d in zip(chunk, preds[: len(chunk)]):
-            stem = os.path.splitext(os.path.basename(f))[0]
-            np.save(os.path.join(out_dir, f"{stem}_depth.npy"), d)
-            if save_png:
-                from PIL import Image
-
-                lo, hi = float(d.min()), float(d.max())
-                u8 = ((d - lo) / max(hi - lo, 1e-9) * 255).astype(np.uint8)
-                Image.fromarray(u8).save(os.path.join(out_dir, f"{stem}_depth.png"))
-
-    run_pipeline(chunks, decode, lambda imgs: predict_fn(state, imgs), write)
+    write = depth_writer(out_dir, save_png, unique_stems(files))
+    run_pipeline(
+        chunks,
+        lambda chunk: pad_to_batch(decode_image_chunk(chunk, input_size), batch_size),
+        lambda imgs: predict_fn(state, imgs),
+        write,
+    )
     click.echo(json.dumps({"n": len(files), "out_dir": out_dir}))
 
 
@@ -557,22 +538,20 @@ def serve(model_name, load_model_path, artifact, watch_dir, out_dir,
     over every visible chip) or --artifact (AOT StableHLO export; no model
     code needed). New files dispatch once their size is stable across two
     polls; decode/compute/write overlap (serve/pipeline.py)."""
-    import numpy as np
-
     from pldepth_tpu.serve.daemon import artifact_infer, serve_directory
 
     if bool(load_model_path) == bool(artifact):
         raise click.UsageError("pass exactly one of --load_model_path / --artifact")
 
     if artifact:
+        from pldepth_tpu.core.mesh import pad_to_batch
+
         infer, meta = artifact_infer(artifact)
         input_size = meta["input_size"]
         fixed = meta.get("batch_size")
         if fixed:  # fixed-batch artifact: tail chunks must pad to its shape
             batch_size = fixed
-            pad = lambda a: np.concatenate(
-                [a, np.zeros((fixed - len(a), *a.shape[1:]), a.dtype)]
-            ) if len(a) < fixed else a
+            pad = lambda a: pad_to_batch(a, fixed)
         else:  # batch-polymorphic artifact
             pad = None
     else:

@@ -11,24 +11,31 @@ the output directory. Two model sources:
   tail batch compiles once per distinct size.
 
 New files are picked up when their size is stable across two polls (a
-half-written upload never reaches the device). Each poll's backlog is
-processed through serve/pipeline.run_pipeline, so decode, device compute
-and file writes overlap. The reference has no serving story at all — its
-closest path is per-image ``model.predict`` inside eval scripts
-(pldepth/test_data_eval.py:30-108).
+half-written upload never reaches the device; in ``--once`` mode the two
+scans are ``poll_interval`` apart for the same reason). Each poll's
+backlog is processed through serve/pipeline.run_pipeline, so decode,
+device compute and file writes overlap. A file that fails to decode or
+infer is quarantined (logged, skipped on later polls) instead of killing
+the daemon — the rest of the backlog and all future uploads keep serving.
+The reference has no serving story at all — its closest path is per-image
+``model.predict`` inside eval scripts (pldepth/test_data_eval.py:30-108).
 """
 
 from __future__ import annotations
 
-import json
 import logging
 import os
 import time
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence, Set
 
 import numpy as np
 
-from pldepth_tpu.serve.pipeline import run_pipeline
+from pldepth_tpu.serve.pipeline import (
+    decode_image_chunk,
+    depth_writer,
+    run_pipeline,
+    unique_stems,
+)
 
 log = logging.getLogger(__name__)
 
@@ -42,29 +49,13 @@ def _scan(watch_dir: str) -> Dict[str, int]:
             if name.lower().endswith(_EXTS):
                 p = os.path.join(watch_dir, name)
                 try:
-                    out[p] = os.stat(p).st_size
+                    if os.path.isfile(p):  # a directory named x.png is not ours
+                        out[p] = os.stat(p).st_size
                 except OSError:
                     pass  # vanished between listdir and stat
     except FileNotFoundError:
         pass
     return out
-
-
-def _write_outputs(out_dir: str, save_png: bool):
-    def write(chunk: Sequence[str], preds: np.ndarray) -> None:
-        for f, d in zip(chunk, preds[: len(chunk)]):
-            stem = os.path.splitext(os.path.basename(f))[0]
-            np.save(os.path.join(out_dir, f"{stem}_depth.npy"), d)
-            if save_png:
-                from PIL import Image
-
-                lo, hi = float(d.min()), float(d.max())
-                u8 = ((d - lo) / max(hi - lo, 1e-9) * 255).astype(np.uint8)
-                Image.fromarray(u8).save(
-                    os.path.join(out_dir, f"{stem}_depth.png")
-                )
-
-    return write
 
 
 def serve_directory(
@@ -85,45 +76,65 @@ def serve_directory(
     ``infer`` maps a ``(batch_size, S, S, 3)`` float32 array to depth maps;
     ``pad_batch`` (optional) rounds a short tail chunk up to the dispatch
     batch. Returns the number of images processed. A file is processed when
-    its size is unchanged since the previous poll and its ``_depth.npy``
-    output does not exist yet.
+    its size is unchanged since the previous poll, its output does not
+    exist yet, and it has not previously failed (quarantine).
     """
-    from pldepth_tpu.data import io as dio
-
     os.makedirs(out_dir, exist_ok=True)
-    write = _write_outputs(out_dir, save_png)
 
     def decode(chunk: Sequence[str]) -> np.ndarray:
-        imgs = np.stack([
-            dio.resize_bilinear(dio.read_image(f, 3), (input_size, input_size))
-            for f in chunk
-        ])
+        imgs = decode_image_chunk(chunk, input_size)
         if pad_batch is not None:
             imgs = pad_batch(imgs)
         return imgs
 
-    def done_path(f: str) -> str:
-        stem = os.path.splitext(os.path.basename(f))[0]
-        return os.path.join(out_dir, f"{stem}_depth.npy")
-
     processed = 0
-    prev_sizes: Dict[str, int] = {} if not once else _scan(watch_dir)
+    failed: Set[str] = set()
+    if once:
+        prev_sizes = _scan(watch_dir)
+        time.sleep(poll_interval)  # let in-flight uploads grow past the scan
+    else:
+        prev_sizes = {}
     polls = 0
     while True:
         sizes = _scan(watch_dir)
+        stems = unique_stems(sorted(sizes))  # collision-stable per scan
         ready = sorted(
             f for f, sz in sizes.items()
-            if prev_sizes.get(f) == sz and not os.path.exists(done_path(f))
+            if prev_sizes.get(f) == sz
+            and f not in failed
+            and not os.path.exists(
+                os.path.join(out_dir, f"{stems[f]}_depth.npy")
+            )
         )
         prev_sizes = sizes
         if ready:
+            write = depth_writer(out_dir, save_png, stems)
             chunks = [
                 ready[s : s + batch_size]
                 for s in range(0, len(ready), batch_size)
             ]
-            n = run_pipeline(chunks, decode, infer, write)
-            processed += sum(len(c) for c in chunks)
-            log.info("served %d images (%d batches)", processed, n)
+            try:
+                run_pipeline(chunks, decode, infer, write)
+                processed += len(ready)
+            except Exception:
+                # isolate the poison file: retry one file at a time, keep
+                # the good ones, quarantine the bad
+                log.exception("batch failed; retrying per file")
+                for f in ready:
+                    if os.path.exists(
+                        os.path.join(out_dir, f"{stems[f]}_depth.npy")
+                    ):
+                        processed += 1  # landed before the batch failed
+                        continue
+                    try:
+                        run_pipeline([[f]], decode, infer, write)
+                        processed += 1
+                    except Exception as e:
+                        failed.add(f)
+                        log.error("quarantined %s: %s", f, e)
+            if failed:
+                log.warning("%d file(s) in quarantine", len(failed))
+            log.info("served %d images total", processed)
         polls += 1
         if once:
             return processed

@@ -41,10 +41,14 @@ def export_predict(
 ) -> str:
     """Serialize ``trainer.predict`` with ``state`` baked in.
 
-    The artifact takes one ``(batch_size, H, W, 3)`` float32 input (raw
-    0-255 images; normalization is inside the graph) and returns the
-    ``(batch_size, H, W)`` depth map. Multi-platform lowering by default so
-    one artifact serves TPU fleets and CPU canaries alike.
+    The artifact takes one ``(batch_size, H, W, 3)`` float32 input of
+    **[0, 1]-ranged** images (divide raw uint8 pixels by 255; the
+    model-specific normalization — e.g. ImageNet mean/std — is inside the
+    graph, matching data/io.py ``read_image``'s output convention) and
+    returns the ``(batch_size, H, W)`` depth map. The expected range is
+    recorded in the artifact metadata (``input_range``). Multi-platform
+    lowering by default so one artifact serves TPU fleets and CPU canaries
+    alike.
 
     ``batch_size <= 0`` exports a batch-polymorphic artifact (symbolic
     leading dim): one file serves any batch size, at the cost of the
@@ -72,6 +76,7 @@ def export_predict(
         # None = batch-polymorphic: any leading dim at call time
         "batch_size": batch_size if batch_size and batch_size > 0 else None,
         "platforms": list(exp.platforms),
+        "input_range": "[0,1]",  # float32; divide raw uint8 pixels by 255
     }
     meta_b = json.dumps(meta).encode()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

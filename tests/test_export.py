@@ -15,9 +15,9 @@ def setup():
     cfg = ExperimentConfig(model_name="ff_effnet", input_size=64, batch_size=2)
     tr = Trainer(cfg, steps_per_epoch=1, mesh=make_mesh(devices=jax.devices()[:1]))
     state = tr.init_state()
+    # the artifact contract is [0,1]-ranged float images (meta.input_range)
     imgs = np.asarray(
-        jax.random.uniform(jax.random.PRNGKey(7), (2, 64, 64, 3)) * 255,
-        np.float32,
+        jax.random.uniform(jax.random.PRNGKey(7), (2, 64, 64, 3)), np.float32
     )
     return tr, state, imgs
 
@@ -29,6 +29,7 @@ def test_export_roundtrip_matches_predict(setup, tmp_path):
     call, meta = load_exported(path)
     assert meta["model_name"] == "ff_effnet"
     assert meta["input_size"] == 64
+    assert meta["input_range"] == "[0,1]"
     a = np.asarray(call(imgs), np.float32)
     b = np.asarray(jax.jit(tr.predict)(state, imgs), np.float32)
     assert a.shape == (2, 64, 64)

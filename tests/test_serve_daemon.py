@@ -82,6 +82,33 @@ def test_pad_batch_applied_to_tail(tmp_path):
     assert len(sorted(out_f for out_f in os.listdir(out))) == 3
 
 
+def test_poison_file_quarantined_others_served(tmp_path):
+    """A corrupt image must not kill the daemon or starve the rest of the
+    backlog: good files serve, the bad one is quarantined and logged."""
+    watch, out = str(tmp_path / "in"), str(tmp_path / "out")
+    _put_images(watch, ["a.png", "c.png"])
+    with open(os.path.join(watch, "b.png"), "wb") as f:
+        f.write(b"not a png at all")
+    n = serve_directory(
+        watch, out, _mean_infer, 8, 4, once=True, poll_interval=0.01
+    )
+    assert n == 2
+    assert sorted(os.listdir(out)) == ["a_depth.npy", "c_depth.npy"]
+
+
+def test_stem_collision_gets_extension_qualified_outputs(tmp_path):
+    """a.jpg + a.png must not race onto one a_depth.npy."""
+    watch, out = str(tmp_path / "in"), str(tmp_path / "out")
+    _put_images(watch, ["a.jpg", "a.png", "b.png"])
+    n = serve_directory(
+        watch, out, _mean_infer, 8, 4, once=True, poll_interval=0.01
+    )
+    assert n == 3
+    assert sorted(os.listdir(out)) == [
+        "a_jpg_depth.npy", "a_png_depth.npy", "b_depth.npy",
+    ]
+
+
 def test_cli_serve_once_with_weights(tmp_path):
     """End-to-end `cli serve --once` from a weights checkpoint on the
     virtual mesh (sharded forward, batch rounded to the data axis)."""
