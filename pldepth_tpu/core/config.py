@@ -66,7 +66,11 @@ class ExperimentConfig:
     input_size: int = 224  # square model input (reference: 224 or 448)
     val_rankings_per_img: Optional[int] = None  # defaults to rankings_per_image
     val_split_denom: int = 15  # reference: take(ds_size//15) as val
-    oversample_factor: int = 5  # sampler candidate multiplier (bs_factor)
+    # Sampler candidate multiplier (reference batch_size_factor). None =
+    # each sampler's own reference default (masked/thresholded 1.5,
+    # info_score 5 — sampling.py:157,218; the provider never overrides
+    # them, hourglass_provider.py:81). Set to force one factor everywhere.
+    oversample_factor: Optional[float] = None
     # Masked pixel-draw strategy: auto | compact | rejection. "auto" =
     # argsort compaction — measured fastest in-step at every config
     # (docs/BENCH.md); rejection kept for ablation.

@@ -54,8 +54,9 @@ def _listmle_sorted_xla(s: jax.Array) -> jax.Array:
 
 def _resolve_impl(impl: str) -> str:
     if impl == "auto":
-        platform = jax.default_backend()
-        return "pallas" if platform == "tpu" else "xla"
+        from pldepth_tpu.ops.listmle_pallas import on_tpu
+
+        return "pallas" if on_tpu() else "xla"
     if impl not in ("xla", "pallas"):
         raise ValueError(f"unknown listmle impl: {impl!r}")
     return impl

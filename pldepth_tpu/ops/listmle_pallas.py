@@ -49,10 +49,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def on_tpu() -> bool:
+    """True when the default backend is TPU hardware. Checks the device,
+    not just the platform string: experimental PJRT plugins can register
+    under another name (this machine's tunnel plugin registers as 'axon')
+    while still exposing TPU devices."""
+    if jax.default_backend() == "tpu":
+        return True
+    try:
+        d = jax.devices()[0]
+    except Exception:
+        return False
+    return d.platform == "tpu" or "TPU" in (getattr(d, "device_kind", "") or "")
+
+
 def _interpret() -> bool:
     # Off-TPU (CPU test meshes) the kernel runs in interpreter mode so the
     # same code path is exercised everywhere.
-    return jax.default_backend() != "tpu"
+    return not on_tpu()
 
 
 def _suffix_sum_matrix(k_pad: int):

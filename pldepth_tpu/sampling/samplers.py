@@ -195,7 +195,7 @@ def _segment_ids(gt, mask, grid: int, depth_bins: int):
     return jnp.where(mask > 0, seg, n_seg).reshape(-1), n_seg
 
 
-def _segment_draw(key, gt, mask, n_cand: int, k: int):
+def _segment_draw(key, gt, mask, n_cand: int, k: int, draw_method: str = "auto"):
     """(n_cand, k) flat gt-space indices, each list spanning distinct
     segments (the heterogeneous-segment strategy)."""
     seg_flat, n_seg = _segment_ids(gt, mask, _SEG_GRID, _SEG_DEPTH_BINS)
@@ -216,7 +216,7 @@ def _segment_draw(key, gt, mask, n_cand: int, k: int):
     offs = starts[chosen] + (u * cnt).astype(jnp.int32)
     idx = perm[jnp.clip(offs, 0, hw - 1)]
     # empty-segment fallback (fewer non-empty segments than k): global draw
-    fallback = _masked_uniform_points(k_fb, mask.reshape(-1), n_cand * k)
+    fallback = _masked_uniform_points(k_fb, mask.reshape(-1), n_cand * k, draw_method)
     return jnp.where(cnt > 0, idx, fallback.reshape(n_cand, k))
 
 
@@ -270,6 +270,15 @@ def sample_rankings(
 
     hm, wm = mask.shape
     hg, wg = gt.shape
+    if hg * wg > 1 << 24:
+        # Flat pixel indices ride in the float32 rankings array (the
+        # reference's (RPI, K, 2) layout); float32 is integer-exact only up
+        # to 2^24, beyond which gathers hit the wrong pixels silently.
+        raise ValueError(
+            f"gt resolution {hg}x{wg} = {hg * wg} pixels exceeds the "
+            f"float32-exact flat-index range (2^24 = {1 << 24}); use "
+            f"input_size < 4096"
+        )
 
     if sampler_name == "segment":
         if (hm, wm) != (hg, wg):
@@ -278,7 +287,7 @@ def sample_rankings(
             mask_g = mask[ri, ci]
         else:
             mask_g = mask
-        gidx = _segment_draw(key, gt, mask_g, n_cand, k)
+        gidx = _segment_draw(key, gt, mask_g, n_cand, k, draw_method)
         depths = gt.reshape(-1)[gidx.reshape(-1)]
         flat = gidx.reshape(-1).astype(jnp.float32)
     else:

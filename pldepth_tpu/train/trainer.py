@@ -95,14 +95,22 @@ class Trainer:
     # ------------------------------------------------------------------
     def make_optimizer(self, params) -> optax.GradientTransformation:
         cfg = self.cfg
+        # The schedule is parameterized in MICRO-steps (fit's steps_per_epoch).
+        # Under MultiSteps the inner optimizer's count advances once per k
+        # micro-steps, so it must be rescaled back to the schedule's clock —
+        # otherwise the LR decays k× too slowly while metrics.lr (computed
+        # from state.step, a micro-step counter) reports the intended value.
+        k = cfg.grad_accum
+        lr = self.schedule if k <= 1 else (lambda count: self.schedule(count * k))
+        self._inner_schedule = lr  # exposed for tests (micro-step rescale)
         adam = optax.amsgrad(
-            learning_rate=self.schedule,
+            learning_rate=lr,
             b1=cfg.adam_b1,
             b2=cfg.adam_b2,
             eps=cfg.adam_eps,
         )
-        if cfg.grad_accum > 1:
-            adam = optax.MultiSteps(adam, every_k_schedule=cfg.grad_accum)
+        if k > 1:
+            adam = optax.MultiSteps(adam, every_k_schedule=k)
         labels = partition_params(params, cfg.freeze_encoder)
         return optax.multi_transform(
             {"trainable": adam, "frozen": optax.set_to_zero()}, labels
@@ -169,6 +177,12 @@ class Trainer:
         """Mesh axis name for the image H dim under spatial partitioning."""
         if not self.cfg.spatial_sharding:
             return None
+        if len(self.mesh.axis_names) < 2:
+            raise ValueError(
+                "spatial_sharding=True needs a 2-axis mesh (data, model); "
+                f"got axes {self.mesh.axis_names} — pass --mesh_model N or "
+                "a mesh with a model axis"
+            )
         m = self.mesh.axis_names[1]
         if self.mesh.shape[m] <= 1:
             return None
@@ -244,9 +258,11 @@ class Trainer:
                     rankings_per_image=cfg.rankings_per_image,
                     ranking_size=cfg.ranking_size,
                     threshold=cfg.equality_threshold,
+                    # None -> the sampler's own reference default
+                    # (SamplerSpec.oversample_factor)
                     oversample_factor=float(cfg.oversample_factor)
-                    if self.sampler_name != "purely_masked"
-                    else 1.0,
+                    if cfg.oversample_factor is not None
+                    else None,
                     draw_method=cfg.sampler_draw_method,
                 )
             x = normalize_images(images, model.preprocess)
@@ -502,6 +518,7 @@ class Trainer:
             for epoch in range(start_epoch, epochs):
                 t0 = time.time()
                 losses = []
+                finites = []
                 last_lr = float("nan")
                 first = offset if epoch == start_epoch else 0
                 for step_i in range(first, self.steps_per_epoch):
@@ -510,6 +527,7 @@ class Trainer:
                     # overlap the next host fetch + H2D transfer with the step
                     next_batch = self.shard_batch(next(train_iter))
                     losses.append(metrics.loss)
+                    finites.append(metrics.finite)
                     last_lr = metrics.lr
                     # Bound in-flight steps: the remote-TPU transport has been
                     # observed to wedge with many queued executions + transfers;
@@ -533,7 +551,13 @@ class Trainer:
                         break
                 n_steps = len(losses)
                 losses = [float(x) for x in jax.device_get(losses)]
-                finite = all(np.isfinite(losses))
+                # metrics.finite covers grads too: a NaN backward with a
+                # finite forward loss must still terminate (the in-step
+                # guard keeps the old params, so continuing would train
+                # nothing while looking healthy)
+                finite = all(np.isfinite(losses)) and all(
+                    bool(x) for x in jax.device_get(finites)
+                )
                 dt = time.time() - t0
                 ips = n_steps * self.cfg.batch_size / dt
                 epoch_loss = float(np.mean(losses)) if losses else float("nan")

@@ -72,3 +72,30 @@ def test_grad_accum_updates_every_k_steps():
     p2 = np.asarray(jax.device_get(state.params["decoder"]["head"]["kernel"]))
     it.close()
     assert not np.array_equal(p1, p2), "update must land on the k-th microbatch"
+
+
+def test_grad_accum_schedule_runs_on_microstep_clock():
+    """MultiSteps advances the inner optimizer count once per k micro-steps;
+    the inner schedule must rescale by k so the LR decays on the intended
+    micro-step horizon (and matches the logged metrics.lr clock)."""
+    from pldepth_tpu.core.mesh import make_mesh
+
+    cfg = ExperimentConfig(
+        model_name="ff_effnet", input_size=S, batch_size=8, ranking_size=3,
+        rankings_per_image=8, sampling_type=1, compute_dtype="float32",
+        listmle_impl="xla", initial_lr=1e-3, grad_accum=4, epochs=2,
+    )
+    tr = Trainer(cfg, steps_per_epoch=10,
+                 mesh=make_mesh(devices=jax.devices()[:1]))
+    tr._ensure_tx()
+    for inner_count in (0, 1, 3, 5):
+        np.testing.assert_allclose(
+            float(tr._inner_schedule(inner_count)),
+            float(tr.schedule(inner_count * 4)),
+        )
+    # and without accumulation the schedule is used as-is
+    cfg1 = cfg.replace(grad_accum=1)
+    tr1 = Trainer(cfg1, steps_per_epoch=10,
+                  mesh=make_mesh(devices=jax.devices()[:1]))
+    tr1._ensure_tx()
+    assert tr1._inner_schedule is tr1.schedule

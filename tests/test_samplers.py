@@ -248,3 +248,51 @@ def test_hier_draw_identical_to_packed(rng, hw, frac):
     b = np.asarray(_masked_uniform_points(
         jax.random.key(3), jnp.asarray(mask), 2500, "hier"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_resolution_guard_float32_flat_index(rng):
+    """H*W beyond 2^24 would silently corrupt float32-carried flat indices;
+    the sampler must refuse instead (samplers.py sample_rankings)."""
+    gt = jnp.ones((4200, 4200), jnp.float32)
+    mask = jnp.ones((4200, 4200), jnp.float32)
+    with pytest.raises(ValueError, match="float32-exact"):
+        sample_rankings(
+            jax.random.key(0), gt, mask,
+            sampler_name="info_score", rankings_per_image=4, ranking_size=3,
+        )
+    # 4096^2 == 2^24 exactly: the largest index (2^24 - 1) is still exact
+    gt_ok = jnp.ones((4096, 16), jnp.float32)
+    out = sample_rankings(
+        jax.random.key(0), gt_ok, jnp.ones_like(gt_ok),
+        sampler_name="purely_masked", rankings_per_image=2, ranking_size=3,
+    )
+    assert out.shape == (2, 3, 2)
+
+
+def test_segment_sampler_honors_draw_method(rng):
+    """The segment sampler's empty-segment fallback must follow the
+    configured draw method (ablations would otherwise silently measure
+    the default)."""
+    gt, mask = make_image(rng)
+    for method in ("rejection", "compact", "hier"):
+        out = np.asarray(sample_rankings(
+            jax.random.key(0), gt, mask,
+            sampler_name="segment", rankings_per_image=RPI, ranking_size=K,
+            draw_method=method,
+        ))
+        assert out.shape == (RPI, K, 2)
+        idx = out[..., 0].astype(np.int64)
+        assert np.all(np.asarray(mask).reshape(-1)[idx.reshape(-1)] > 0)
+
+
+def test_default_oversample_factor_is_per_sampler_spec():
+    """cfg.oversample_factor=None defers to each sampler's reference
+    default (masked/thresholded 1.5, info 5 — reference sampling.py
+    class defaults; the provider never overrides them)."""
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.sampling.samplers import SAMPLERS
+
+    assert ExperimentConfig().oversample_factor is None
+    assert SAMPLERS["masked"].oversample_factor == 1.5
+    assert SAMPLERS["thresholded"].oversample_factor == 1.5
+    assert SAMPLERS["info_score"].oversample_factor == 5.0
