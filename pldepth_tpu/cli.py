@@ -12,7 +12,13 @@ names, defaults, sampling_type codes). Commands:
   active  — active_PLDepth.py equivalent: optional pretrain/load + N
             edge-disagreement active-learning rounds.
   chi2    — chi2compare.py diagnostic: chi^2 informativeness of samplers.
-  sweep   — hyperparameter search driver (random/grid; wandb if present).
+  sweep   — hyperparameter search driver (random/grid/tpe; wandb if present).
+  predict — batched depth inference over a directory of images.
+  serve   — watch-directory serving daemon (checkpoint or AOT artifact).
+  export  — AOT StableHLO serving artifact via jax.export.
+  dump    — offline (image, rankings) dump (active_learning/offline_data.py).
+  analyze — sweep-trials analysis (bk-hyperopt/trials_visualize.py).
+  convert — Keras backbone weights → --pretrained_path npz.
 
 Run as ``python -m pldepth_tpu.cli <command> ...``.
 """
@@ -663,6 +669,23 @@ def chi2(trials, batches_per_trial, **kw):
     cfg = _make_config(kw)
     out = run_chi2_compare(cfg, trials=trials, batches_per_trial=batches_per_trial)
     click.echo(json.dumps(out, indent=2))
+
+
+@cli.command()
+@click.option("--weights", required=True,
+              help="Keras model file (.h5 / SavedModel dir) holding the backbone")
+@click.option("--model_name", default="ff_effnet",
+              help="target family: ff_effnet* (EfficientNet) or ff_redweb (ResNet-50)")
+@click.option("--out", required=True, help="output .npz for --pretrained_path")
+def convert(weights, model_name, out):
+    """Convert Keras backbone weights to the npz consumed by
+    --pretrained_path (reference encoders came from keras.applications,
+    pl_hourglass.py:48 / redweb.py:410). Runs wherever TF + the weights
+    exist; numerics are covered by tools/keras_parity_check.py."""
+    from pldepth_tpu.models.convert import convert_keras_file
+
+    path = convert_keras_file(weights, model_name, out)
+    click.echo(json.dumps({"out": path, "model_name": model_name}))
 
 
 @cli.command()

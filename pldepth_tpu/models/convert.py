@@ -6,7 +6,8 @@ module maps a Keras EfficientNet/ResNet50 model's weights onto the
 pldepth_tpu parameter tree and writes the ``.npz`` consumed by
 ``models/pretrained.py`` (run offline wherever TF + the weights exist; this
 image has TF but no network, so conversion is exercised with random weights
-by the numerical parity test, tests/test_keras_parity.py).
+by the numerical parity tool, tools/keras_parity_check.py, and exposed as
+``cli convert``).
 
 Name maps:
   EfficientNet  block{S}{letter}_expand_conv -> encoder/stage{S}_block{i}/expand_conv ...

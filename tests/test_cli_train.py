@@ -63,3 +63,15 @@ def test_resume_requires_run_name(tmp_path):
     )
     assert res.exit_code != 0
     assert "run_name" in res.output
+
+
+def test_convert_command_registered():
+    """`cli convert` is wired with the documented flags (conversion numerics
+    themselves are covered offline by tools/keras_parity_check.py)."""
+    from pldepth_tpu.cli import cli
+
+    runner = CliRunner()
+    res = runner.invoke(cli, ["convert", "--help"], catch_exceptions=False)
+    assert res.exit_code == 0
+    for flag in ("--weights", "--model_name", "--out"):
+        assert flag in res.output
