@@ -38,10 +38,63 @@ from pldepth_tpu.ops.fused_mbconv import (
     mbconv_infer_ref,
 )
 
-# Conservative per-kernel working-set budget (bytes). The dominant residents
-# are the f32 depthwise accumulator (4 B/elem), one rolled f32 temp, and the
-# bf16 expanded scratch; VMEM is ~16 MB/core.
+# Coarse per-kernel working-set screen (bytes). The dominant residents are
+# the f32 depthwise accumulator (4 B/elem), one shifted f32 temp, and the
+# bf16 expanded scratch; VMEM is ~16 MB/core. This is only a pre-filter:
+# Mosaic's scoped-vmem stack allocator is not predictable from first
+# principles (observed on v5e: a (28,28,672) k=5 block needs 19.07M against
+# a 5.4M estimate, while a (56,56,240) k=5 block with a larger estimate
+# compiles fine), so eligibility is decided by a cached probe compile of
+# each candidate block (`_fused_compile_ok`), not by this estimate.
 DEFAULT_VMEM_BUDGET = 12 * 2**20
+
+# probe-compile verdict per (shape/dtype/kernel/stride/residual) signature;
+# module-level so retraces under jit/shard_map don't re-probe
+_PROBE_CACHE: Dict[Tuple, bool] = {}
+
+
+def _params_struct(p: "MBConvParams") -> "MBConvParams":
+    return jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), p
+    )
+
+
+def _fused_compile_ok(
+    p: MBConvParams, hh: int, ww: int, cin: int, dtype,
+    kernel: int, stride: int, residual: bool,
+) -> bool:
+    """True iff the fused kernel compiles for this block shape on the
+    current backend. Mosaic rejects some shapes outright (odd 7x7 spatial
+    dims hit "unsupported shape cast"; large blocks overflow the 16M
+    scoped-vmem stack), and the failure is only knowable by compiling.
+    Batch size does not affect the verdict (the grid is over images, so
+    per-step VMEM is per-image); probing at batch 1 covers every batch."""
+    import logging
+
+    key = (
+        hh, ww, cin, str(jnp.dtype(dtype)), kernel, stride, residual,
+        tuple(
+            (tuple(a.shape), str(a.dtype))
+            for a in jax.tree_util.tree_leaves(p)
+        ),
+    )
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    x_struct = jax.ShapeDtypeStruct((1, hh, ww, cin), jnp.dtype(dtype))
+    try:
+        fused_mbconv_infer.lower(
+            x_struct, _params_struct(p),
+            kernel=kernel, stride=stride, residual=residual,
+        ).compile()
+        ok = True
+    except Exception as e:  # noqa: BLE001 — any compile failure => XLA path
+        logging.getLogger(__name__).info(
+            "fused MBConv probe: (%d,%d,%d) k=%d s=%d falls back to XLA: %s",
+            hh, ww, cin, kernel, stride, str(e).splitlines()[0][:160],
+        )
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
 
 
 class BlockPlan(NamedTuple):
@@ -101,8 +154,15 @@ def plan_encoder(
     variant: str = "b0",
     vmem_budget: int = DEFAULT_VMEM_BUDGET,
     dtype: Any = jnp.bfloat16,
+    verify: bool = True,
 ) -> List[BlockPlan]:
-    """Static per-block execution plan (fused vs XLA) for one input size."""
+    """Static per-block execution plan (fused vs XLA) for one input size.
+
+    With ``verify`` (default), each candidate block is probe-compiled at
+    batch 1 and demoted to the XLA path if Mosaic rejects it; verdicts are
+    cached per shape signature. On non-TPU backends the kernel runs in
+    interpret mode, which always works, so the probe is skipped."""
+    do_probe = verify and jax.default_backend() == "tpu"
     itemsize = jnp.dtype(dtype).itemsize
     width, depth = VARIANTS[variant]
     h, w = input_hw[0] // 2, input_hw[1] // 2  # after the stride-2 stem
@@ -124,16 +184,20 @@ def plan_encoder(
             est = _block_vmem_bytes(
                 h, w, in_ch, ce, out_ch, expand != 1, itemsize
             )
+            params = extract_block_params(enc_params[name], enc_stats[name])
+            residual = s == 1 and in_ch == out_ch
             fused = tap is None and est <= vmem_budget
+            if fused and do_probe:
+                fused = _fused_compile_ok(
+                    params, h, w, in_ch, dtype, kernel, s, residual
+                )
             plans.append(
                 BlockPlan(
                     name=name,
-                    params=extract_block_params(
-                        enc_params[name], enc_stats[name]
-                    ),
+                    params=params,
                     kernel=kernel,
                     stride=s,
-                    residual=s == 1 and in_ch == out_ch,
+                    residual=residual,
                     fused=fused,
                     tap=tap,
                 )

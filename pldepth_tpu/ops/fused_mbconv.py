@@ -67,27 +67,37 @@ def fold_bn(gamma, beta, mean, var, eps: float = 1e-3):
     return s, beta - mean * s
 
 
+def _shift_zero(h, d: int, axis: int):
+    """sh[i] = h[i+d] along ``axis`` with zero fill outside (static d).
+
+    Built from static slices + concatenate: Mosaic's ``tpu.dynamic_rotate``
+    only supports 32-bit element types (observed on v5e: "Rotate with
+    non-32-bit data" for a bf16 vector), so the previous roll-and-mask
+    formulation cannot run in the serving dtype."""
+    if d == 0:
+        return h
+    n = h.shape[axis]
+    if d > 0:
+        body = jax.lax.slice_in_dim(h, d, n, axis=axis)
+        pad = jnp.zeros_like(jax.lax.slice_in_dim(h, 0, d, axis=axis))
+        return jax.lax.concatenate([body, pad], dimension=axis)
+    body = jax.lax.slice_in_dim(h, 0, n + d, axis=axis)
+    pad = jnp.zeros_like(jax.lax.slice_in_dim(h, 0, -d, axis=axis))
+    return jax.lax.concatenate([pad, body], dimension=axis)
+
+
 def _dw_taps(h, dw_ref, k: int, hh: int, ww: int, acc_dtype):
     """k x k depthwise conv with stride-1 SAME zero padding, computed as
-    k^2 roll-and-mask fused multiply-adds over the VMEM-resident tensor."""
+    k^2 shift-and-scale fused multiply-adds over the VMEM-resident tensor
+    (row shift hoisted out of the inner loop: k + k^2 shifts total)."""
     p = k // 2
     g = jnp.zeros(h.shape, acc_dtype)
-    rows = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
     for di in range(-p, p + 1):
+        sh_row = _shift_zero(h, di, 0)
         for dj in range(-p, p + 1):
             w_tap = dw_ref[di + p, dj + p, :]  # (Ce,)
-            sh = h
-            if di:  # roll is circular; (-di) mod H is the non-negative form
-                sh = pltpu.roll(sh, (-di) % hh, 0)
-            if dj:
-                sh = pltpu.roll(sh, (-dj) % ww, 1)
-            valid = (
-                (rows + di >= 0) & (rows + di < hh)
-                & (cols + dj >= 0) & (cols + dj < ww)
-            )
-            tap = jnp.where(valid, sh, jnp.zeros_like(sh))
-            g = g + tap.astype(acc_dtype) * w_tap[None, None, :].astype(acc_dtype)
+            sh = _shift_zero(sh_row, dj, 1)
+            g = g + sh.astype(acc_dtype) * w_tap[None, None, :].astype(acc_dtype)
     return g
 
 
@@ -127,8 +137,16 @@ def _mbconv_kernel(
     ho, wo = g.shape[0], g.shape[1]
 
     # squeeze-excite: tiny (1, Ce) matmuls, all f32 (Mosaic rejects the
-    # mixed bf16/f32 broadcast the narrow dot would otherwise emit)
-    pool = jnp.mean(g.astype(jnp.float32), axis=(0, 1))[None, :]  # (1, Ce)
+    # mixed bf16/f32 broadcast the narrow dot would otherwise emit).
+    # The pool is a ones-vector matmul, not a multi_reduction: the stride-2
+    # subsample leaves g with a nonzero sublane offset, and Mosaic refuses
+    # float ADD reductions over offset layouts ("input layout must have
+    # zero offsets over dimensions that are being reduced", v5e).
+    gf = g.astype(jnp.float32).reshape(ho * wo, g.shape[-1])
+    pool = jnp.dot(
+        jnp.full((1, ho * wo), 1.0 / (ho * wo), jnp.float32), gf,
+        preferred_element_type=jnp.float32,
+    )  # (1, Ce)
     se = jnp.dot(pool, se1w_ref[...].astype(jnp.float32)) + se1b_ref[0][None, :]
     se = se * jax.nn.sigmoid(se)  # swish
     se = jnp.dot(se, se2w_ref[...].astype(jnp.float32)) + se2b_ref[0][None, :]
