@@ -81,6 +81,10 @@ def _fused_compile_ok(
     if key in _PROBE_CACHE:
         return _PROBE_CACHE[key]
     x_struct = jax.ShapeDtypeStruct((1, hh, ww, cin), jnp.dtype(dtype))
+    # the AOT executable is discarded (it cannot be injected into the jit
+    # dispatch cache); the persistent JAX compilation cache makes the real
+    # serving compile of the same (B=1) signature a cache hit, and larger
+    # batches reuse the Mosaic kernel body
     try:
         fused_mbconv_infer.lower(
             x_struct, _params_struct(p),
@@ -90,7 +94,8 @@ def _fused_compile_ok(
     except Exception as e:  # noqa: BLE001 — any compile failure => XLA path
         logging.getLogger(__name__).info(
             "fused MBConv probe: (%d,%d,%d) k=%d s=%d falls back to XLA: %s",
-            hh, ww, cin, kernel, stride, str(e).splitlines()[0][:160],
+            hh, ww, cin, kernel, stride,
+            (str(e).splitlines() or [""])[0][:160],
         )
         ok = False
     _PROBE_CACHE[key] = ok

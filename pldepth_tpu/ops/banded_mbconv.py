@@ -41,11 +41,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pldepth_tpu.ops.fused_mbconv import MBConvParams, _shift_zero
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from pldepth_tpu.ops.fused_mbconv import (
+    MBConvParams,
+    _interpret,
+    _shift_zero,
+)
 
 
 def _col_taps(h, dw_ref, di: int, p: int, acc_dtype):
@@ -175,7 +175,7 @@ def _project_kernel(
     out_ref[0] = y
 
 
-def _pick_band(ho: int, wo: int) -> int:
+def _pick_band(ho: int) -> int:
     """Output rows per band: a divisor of Ho targeting ~16-32 rows (small
     enough that the haloed expanded band fits VMEM at 224^2 widths, large
     enough to amortize dispatch)."""
@@ -208,7 +208,7 @@ def banded_mbconv_infer(
     dt = x.dtype
     p = kernel // 2
 
-    band = band_rows or _pick_band(ho, wo)
+    band = band_rows or _pick_band(ho)
     if ho % band:
         raise ValueError(f"band_rows {band} must divide output height {ho}")
     n_bands = ho // band

@@ -86,7 +86,7 @@ def _shift_zero(h, d: int, axis: int):
     return jax.lax.concatenate([pad, body], dimension=axis)
 
 
-def _dw_taps(h, dw_ref, k: int, hh: int, ww: int, acc_dtype):
+def _dw_taps(h, dw_ref, k: int, acc_dtype):
     """k x k depthwise conv with stride-1 SAME zero padding, computed as
     k^2 shift-and-scale fused multiply-adds over the VMEM-resident tensor
     (row shift hoisted out of the inner loop: k + k^2 shifts total)."""
@@ -125,7 +125,7 @@ def _mbconv_kernel(
     else:
         h = x
 
-    g = _dw_taps(h, dw_ref, k, hh, ww, jnp.float32)  # (H, W, Ce) f32
+    g = _dw_taps(h, dw_ref, k, jnp.float32)  # (H, W, Ce) f32
     g = g * d_s_ref[0][None, None, :] + d_t_ref[0][None, None, :]
     g = g * jax.nn.sigmoid(g)  # swish in f32 (XLA path: bf16; within tol)
     g = g.astype(x.dtype)

@@ -23,9 +23,11 @@ enc_p = variables["params"]
 enc_s = variables["batch_stats"]
 
 for size in (448, 224):
-    plans = plan_encoder(enc_p, enc_s, (size, size), "b0")
+    # verify=False: this tool exists to report raw per-block compile
+    # verdicts vs the estimator; the default probe-verified planning
+    # would demote failures to XLA before we could see them
+    plans = plan_encoder(enc_p, enc_s, (size, size), "b0", verify=False)
     h = w = size // 2
-    in_ch = 32
     print(f"== input {size}^2 ==")
     for plan in plans:
         ce = plan.params.dw.shape[-1]
@@ -45,11 +47,10 @@ for size in (448, 224):
                 msg = str(e)
                 status = "OOM" if "vmem" in msg or "memory" in msg else "FAIL"
                 if status == "FAIL":
-                    status += ": " + msg.splitlines()[0][:120]
+                    status += ": " + (msg.splitlines() or [""])[0][:120]
         else:
             status = "(xla)" + (" tap" if plan.tap else "")
         print(f"  {plan.name:18s} hw={h}x{w} cin={cin} ce={ce} k={plan.kernel}"
               f" s={plan.stride} est={est/2**20:6.2f}M  {status}")
         h, w = h // plan.stride, w // plan.stride
-        in_ch = cout
 print("PROBE DONE")
