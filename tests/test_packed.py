@@ -74,3 +74,29 @@ def test_native_iterator_shuffles_and_loops(packed):
     seen = [next(it)["gt"][0, 0, 0] for _ in range(6)]  # > one epoch
     it.close()
     assert len(set(np.round(seen, 6))) > 1
+
+
+def test_malformed_files_rejected(packed, tmp_path):
+    """Garbage, truncated, and wrong-magic files fail loudly in both the
+    Python reader and the native one (packio.cpp validates magic, version,
+    and that the mapped size covers n records)."""
+    _, good = packed
+
+    garbage = tmp_path / "garbage.pldpack"
+    garbage.write_bytes(b"\x00" * 64)
+    truncated = tmp_path / "truncated.pldpack"
+    truncated.write_bytes(open(good, "rb").read()[:200])
+    empty = tmp_path / "empty.pldpack"
+    empty.write_bytes(b"")
+
+    for bad in (garbage, truncated, empty):
+        with pytest.raises(Exception):
+            PackedDataset(str(bad))
+
+    if build_native():
+        for bad in (garbage, truncated, empty):
+            with pytest.raises(Exception):
+                NativePackedIterator(str(bad), batch_size=2)
+        # the good file still opens after the failed attempts
+        it = NativePackedIterator(good, batch_size=2)
+        assert next(iter(it))["image"].shape[0] == 2

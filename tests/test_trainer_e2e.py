@@ -141,3 +141,28 @@ def test_determinism_same_seed_same_first_loss(ds):
     s1, m1 = t1.train_step(t1.init_state(), t1.shard_batch(batch))
     s2, m2 = t2.train_step(t2.init_state(), t2.shard_batch(batch))
     assert float(m1.loss) == float(m2.loss)
+
+
+def test_training_improves_ordinal_error(ds):
+    """Accuracy smoke (SURVEY.md §4 item 5 beyond loss): overfitting the
+    tiny pool must improve the reference ordinal-error METRIC, not just the
+    ListMLE loss — ties the train loop to the eval stack end-to-end."""
+    from pldepth_tpu.eval.evaluator import Evaluator
+
+    cfg = tiny_cfg(initial_lr=1e-3)
+    trainer = Trainer(cfg, steps_per_epoch=2, mesh=mesh1())
+    state = trainer.init_state()
+
+    pool = ds.take(8)
+    err0 = Evaluator(trainer, state, eval_batch_size=8).calc_err(pool)
+
+    it = BatchIterator(ds, cfg.batch_size, seed=2)
+    for _ in range(30):
+        state, metrics = trainer.train_step(state, trainer.shard_batch(next(it)))
+        assert bool(metrics.finite)
+    it.close()
+
+    err1 = Evaluator(trainer, state, eval_batch_size=8).calc_err(pool)
+    # random init starts near chance (~0.5); a real learning signal must
+    # beat it decisively on the training pool itself
+    assert err1 < err0 - 0.05, (err0, err1)
