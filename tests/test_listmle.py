@@ -138,3 +138,23 @@ def test_uniform_scores_loss_is_log_k_factorial():
     nll = np.asarray(listmle_nll(scores, labels, impl="xla"))
     want = np.sum(np.log(np.arange(1, k + 1)))
     np.testing.assert_allclose(nll, want, rtol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_listmle_sweep_extreme_k500(impl, rng):
+    """The reference's sweep space explores ranking_size up to 500
+    (hyperopt/hyperparams.py:44); the kernel must stay exact there
+    (K pads to 504 sublane rows, triangular matmuls go (504, 504))."""
+    n, k = 40, 500
+    scores = rng.normal(size=(n, k)).astype(np.float32)
+    labels = rng.permuted(
+        np.tile(np.arange(k, dtype=np.float32), (n, 1)), axis=1
+    )
+    got = np.asarray(listmle_nll(jnp.array(scores), jnp.array(labels), impl=impl))
+    want = pl_nll_numpy(scores, labels)
+    np.testing.assert_allclose(got, want, rtol=4e-5, atol=4e-4)
+    g = jax.grad(lambda s: listmle_nll(s, jnp.array(labels), impl=impl).sum())(
+        jnp.array(scores)
+    )
+    assert np.isfinite(np.asarray(g)).all()
