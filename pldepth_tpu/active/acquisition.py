@@ -33,12 +33,13 @@ except Exception:  # pragma: no cover
 
 
 def _tileize(edges: np.ndarray, split: int) -> np.ndarray:
-    """(H, W) -> (split*split, t, t) row-major tiles (reference splitImage,
-    preprocess_utils.py:29-42)."""
+    """(H, W) -> (split*split, th, tw) row-major tiles (reference splitImage,
+    preprocess_utils.py:29-42; generalized to non-square images — the
+    reference reshape assumed H == W and crashed/cropped otherwise)."""
     h, w = edges.shape
-    t = h // split
-    tiles = edges[: t * split, : t * split].reshape(split, t, split, t)
-    return tiles.transpose(0, 2, 1, 3).reshape(split * split, t, t)
+    th, tw = h // split, w // split
+    tiles = edges[: th * split, : tw * split].reshape(split, th, split, tw)
+    return tiles.transpose(0, 2, 1, 3).reshape(split * split, th, tw)
 
 
 def tile_hausdorff(
@@ -52,12 +53,12 @@ def tile_hausdorff(
     """
     a_tiles = _tileize(in_edges, split) > 0
     b_tiles = _tileize(pred_edges, split) > 0
-    n_tiles, t, _ = a_tiles.shape
-    a = a_tiles.reshape(n_tiles, t * t)
-    b = b_tiles.reshape(n_tiles, t * t)
+    n_tiles, th, tw = a_tiles.shape
+    a = a_tiles.reshape(n_tiles, th * tw)
+    b = b_tiles.reshape(n_tiles, th * tw)
 
     # within-tile pairwise distances, shared across tiles
-    rr, cc = np.divmod(np.arange(t * t), t)
+    rr, cc = np.divmod(np.arange(th * tw), tw)
     d = np.hypot(rr[:, None] - rr[None, :], cc[:, None] - cc[None, :]).astype(
         np.float32
     )  # (t^2, t^2)
@@ -84,18 +85,18 @@ def tile_hausdorff(
     empty_a = ~a.any(axis=1)
     empty_b = ~b.any(axis=1)
     both_valid = ~(empty_a | empty_b)
-    diag = math.sqrt(2.0) * t
+    diag = math.hypot(th, tw)
 
     dist = np.where(both_valid, hd, diag)
     # fallback witness: center of tile if A empty, else first A pixel
-    center = (t // 2) * t + t // 2
+    center = (th // 2) * tw + tw // 2
     first_a = np.where(a.any(axis=1), a.argmax(axis=1), center)
     witness = np.where(both_valid, witness, np.where(empty_a, center, first_a))
 
     # to absolute image coordinates
     tile_r, tile_c = np.divmod(np.arange(n_tiles), split)
-    wr = tile_r * t + witness // t
-    wc = tile_c * t + witness % t
+    wr = tile_r * th + witness // tw
+    wc = tile_c * tw + witness % tw
     pts = np.stack([wr, wc], axis=1).astype(np.int64)
     return dist.astype(np.float32), pts
 

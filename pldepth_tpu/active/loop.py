@@ -9,7 +9,7 @@ epoch on the acquired pool], tracking per-round ordinal error.
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -97,7 +97,7 @@ def run_active_loop(
     eval_limit: Optional[int] = 50,
     seed: int = 0,
     logger=None,
-) -> Dict[str, List[float]]:
+) -> Tuple["TrainState", Dict[str, List[float]]]:
     """The full loop: reference active_PLDepth.py:160-185 semantics."""
     from pldepth_tpu.eval.evaluator import Evaluator
 

@@ -25,15 +25,20 @@ from typing import Optional
 import numpy as np
 
 from pldepth_tpu.data.datasets import DepthDataset
+from pldepth_tpu.eval.metrics import ratio_relation as _relation
 
 log = logging.getLogger(__name__)
 
 
-def _relation(z0, z1, threshold: float):
-    eps = 1e-10
-    ratio = (z0 + eps) / (z1 + eps)
-    return np.where(ratio >= 1 + threshold, 1.0,
-                    np.where(ratio <= 1.0 / (1 + threshold), -1.0, 0.0))
+def _check_flat_index_range(h: int, w: int) -> None:
+    """Flat pixel indices ride in float32 arrays (the reference layout);
+    float32 is integer-exact only to 2^24 — same guard as the training
+    samplers (sampling/samplers.py)."""
+    if h * w > 1 << 24:
+        raise ValueError(
+            f"gt resolution {h}x{w} = {h * w} pixels exceeds the "
+            f"float32-exact flat-index range (2^24 = {1 << 24})"
+        )
 
 
 def generate_ordinal_pairs(
@@ -51,6 +56,7 @@ def generate_ordinal_pairs(
     for i in range(len(ds)):
         gt = np.squeeze(ds[i]["gt"])
         h, w = gt.shape
+        _check_flat_index_range(h, w)
         p0 = rng.integers(0, h * w, pairs_per_image)
         p1 = rng.integers(0, h * w, pairs_per_image)
         z0, z1 = gt.reshape(-1)[p0], gt.reshape(-1)[p1]
@@ -78,7 +84,9 @@ def generate_eval_rankings(
     rng = np.random.default_rng(seed)
     out = np.zeros((len(ds), rankings_per_image, ranking_size, 2), np.float32)
     for i in range(len(ds)):
-        gt = np.squeeze(ds[i]["gt"]).reshape(-1)
+        gt2d = np.squeeze(ds[i]["gt"])
+        _check_flat_index_range(*gt2d.shape)
+        gt = gt2d.reshape(-1)
         idx = rng.integers(0, gt.size, (rankings_per_image, ranking_size))
         z = gt[idx]
         labels = 1.0 / (z + 1.0) if invert_relation_sign else z

@@ -59,6 +59,17 @@ def ordinal_error(
     return 1.0 - float(np.equal(pred_order, gt_order).sum()) / num_pairs
 
 
+def ratio_relation(a, b, tau: float):
+    """The reference ordinal relation (depth_utils.py:5-21): sign of the
+    (1+tau)-banded ratio test, 0 inside the tie band. Shared by whdr and
+    the cached pair provider (data/ordinal.py) so the relation definition
+    cannot drift between the live metric and cached pairs."""
+    eps = 1e-10
+    ratio = (np.asarray(a) + eps) / (np.asarray(b) + eps)
+    return np.where(ratio >= 1 + tau, 1.0,
+                    np.where(ratio <= 1.0 / (1 + tau), -1.0, 0.0))
+
+
 def whdr(
     pred: np.ndarray,
     gt: np.ndarray,
@@ -80,14 +91,8 @@ def whdr(
     rs = np.random.RandomState(seed)
     idx = rs.choice(pred.size, num_pairs * 2, replace=False)
     i0, i1 = np.split(idx, 2)
-    eps = 1e-10
-
-    def rel(a, b):
-        ratio = (a + eps) / (b + eps)
-        return np.where(ratio >= 1 + tau, 1, np.where(ratio <= 1 / (1 + tau), -1, 0))
-
-    r_gt = rel(gt[i0], gt[i1])
-    r_pred = rel(pred[i0], pred[i1])
+    r_gt = ratio_relation(gt[i0], gt[i1], tau)
+    r_pred = ratio_relation(pred[i0], pred[i1], tau)
     if invert_pred_order:
         r_pred = -r_pred
     return float(np.mean(r_gt != r_pred))

@@ -116,6 +116,11 @@ def _grid(space: Dict[str, Any]):
         yield dict(zip(keys, combo))
 
 
+# metrics run_single can produce; anything else would make every record
+# fail the finite-target filter after the full compute spend
+SUPPORTED_TARGETS = ("loss", "test_error", "whdr")
+
+
 def run_single(cfg: ExperimentConfig, target: str) -> Dict[str, float]:
     """One short training run -> {target: value, "loss": ...}."""
     from pldepth_tpu.data import BatchIterator, get_dataset, train_val_split
@@ -137,7 +142,10 @@ def run_single(cfg: ExperimentConfig, target: str) -> Dict[str, float]:
     result = {"loss": history["loss"][-1]}
     if len(val_ds):
         ev = Evaluator(trainer, state)
-        result["test_error"] = ev.calc_err(val_ds, limit=min(50, len(val_ds)))
+        lim = min(50, len(val_ds))
+        result["test_error"] = ev.calc_err(val_ds, limit=lim)
+        if target == "whdr":
+            result["whdr"] = ev.calc_err(val_ds, limit=lim, tau=0.03)
     return result
 
 
@@ -150,6 +158,11 @@ def run_sweep(
     state_path: Optional[str] = None,
 ) -> Dict[str, Any]:
     space = SEARCH_SPACES[space_name]
+    if target not in SUPPORTED_TARGETS:
+        raise ValueError(
+            f"unknown sweep target {target!r}; run_single produces "
+            f"{SUPPORTED_TARGETS}"
+        )
     rng = np.random.default_rng(base_cfg.seed)
     state_path = state_path or os.path.join(base_cfg.output_dir, "sweep_state.jsonl")
     os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
@@ -162,7 +175,13 @@ def run_sweep(
 
     if search == "grid":
         candidates = list(itertools.islice(_grid(space), num_runs))[len(done):]
+        # a fully-discrete space may have fewer combinations than num_runs
+        num_runs = min(num_runs, len(done) + len(candidates))
     elif search == "random":
+        # burn the draws already recorded so a resumed sweep CONTINUES the
+        # seeded sequence instead of re-evaluating runs 1..len(done)
+        for _ in range(len(done)):
+            _sample(space, rng)
         candidates = [_sample(space, rng) for _ in range(num_runs - len(done))]
     elif search == "tpe":
         candidates = None  # sampled sequentially from the history below
@@ -177,7 +196,7 @@ def run_sweep(
                 if search == "tpe"
                 else candidates[i - len(done)]
             )
-            cfg = base_cfg.replace(**{k: v for k, v in overrides.items()})
+            cfg = base_cfg.replace(**overrides)
             log.info("sweep run %d/%d: %s", i + 1, num_runs, overrides)
             try:
                 metrics = run_single(cfg, target)

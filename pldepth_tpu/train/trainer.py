@@ -88,6 +88,7 @@ class Trainer:
         self._train_step = None
         self._train_step_fixed = None
         self._eval_step = None
+        self._jit_predict = {}  # fused flag -> jitted serving fn
         self._stop_requested = False
 
     # ------------------------------------------------------------------
@@ -440,20 +441,28 @@ class Trainer:
         cannot split on its own. The reference served strictly single-device
         (pldepth/test_data_eval.py:30-108 per-image model.predict).
 
-        Global batch must be divisible by the data-axis size.
+        Global batch must be divisible by the data-axis size. Memoized per
+        ``fused`` flag: callers (Evaluator, active rounds, serve) would
+        otherwise rebuild a fresh jax.jit wrapper — each with its own
+        trace/compile cache — every round.
         """
+        if fused in self._jit_predict:
+            return self._jit_predict[fused]
         fn = self.predict_fused if fused else self.predict
         d = self.mesh.axis_names[0]
         if self.mesh.shape[d] <= 1:
-            return jax.jit(fn)
-        mapped = jax.shard_map(
-            fn,
-            mesh=self.mesh,
-            in_specs=(P(), P(d)),
-            out_specs=P(d),
-            check_vma=False,
-        )
-        return jax.jit(mapped)
+            jitted = jax.jit(fn)
+        else:
+            mapped = jax.shard_map(
+                fn,
+                mesh=self.mesh,
+                in_specs=(P(), P(d)),
+                out_specs=P(d),
+                check_vma=False,
+            )
+            jitted = jax.jit(mapped)
+        self._jit_predict[fused] = jitted
+        return jitted
 
     # ------------------------------------------------------------------
     # loops

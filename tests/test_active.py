@@ -64,3 +64,21 @@ def test_oracle_label_sorted_and_consistent(rng):
     assert np.all(np.diff(d, axis=-1) <= 1e-7)
     flat = lists[..., 0].astype(int)
     np.testing.assert_allclose(d, gt.reshape(-1)[flat], rtol=1e-6)
+
+
+def test_tile_hausdorff_nonsquare(rng):
+    """Portrait/landscape maps must tile cleanly (the reference splitImage
+    assumed square inputs); witnesses stay in bounds for both."""
+    from pldepth_tpu.active.acquisition import tile_hausdorff
+
+    for h, w in ((64, 48), (48, 64)):
+        a = (rng.random((h, w)) > 0.9).astype(np.uint8) * 255
+        b = (rng.random((h, w)) > 0.9).astype(np.uint8) * 255
+        dist, pts = tile_hausdorff(a, b, split=8)
+        assert dist.shape == (64,)
+        assert pts.shape == (64, 2)
+        assert (pts[:, 0] >= 0).all() and (pts[:, 0] < h).all()
+        assert (pts[:, 1] >= 0).all() and (pts[:, 1] < w).all()
+        # witnesses from valid tiles are input-edge pixels
+        on = a[pts[:, 0], pts[:, 1]]
+        assert ((on > 0) | (dist == np.hypot(h // 8, w // 8))).any()

@@ -75,3 +75,66 @@ def test_analyzer_best_and_table(tmp_path):
     assert best_trial(trials)["overrides"]["initial_lr"] == 0.01
     table = param_table(trials)
     assert len(table["initial_lr"]) == 2  # NaN filtered
+
+
+def _fake_run_single(monkeypatch):
+    import pldepth_tpu.sweep.sweep as sw
+
+    calls = []
+
+    def fake(cfg, target):
+        calls.append(cfg.initial_lr)
+        return {"loss": cfg.initial_lr, "test_error": cfg.initial_lr}
+
+    monkeypatch.setattr(sw, "run_single", fake)
+    return calls
+
+
+def test_random_sweep_resume_continues_sequence(tmp_path, monkeypatch):
+    """A resumed random sweep must continue the seeded draw sequence, not
+    re-evaluate the configs already recorded."""
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.sweep.sweep import run_sweep
+
+    _fake_run_single(monkeypatch)
+    cfg = ExperimentConfig(seed=5, output_dir=str(tmp_path))
+    sp = str(tmp_path / "state.jsonl")
+
+    full = run_sweep(cfg, num_runs=4, search="random", target="loss",
+                     state_path=str(tmp_path / "full.jsonl"))
+    run_sweep(cfg, num_runs=2, search="random", target="loss", state_path=sp)
+    resumed = run_sweep(cfg, num_runs=4, search="random", target="loss",
+                        state_path=sp)
+
+    with open(sp) as f:
+        recs = [json.loads(l)["overrides"] for l in f if l.strip()]
+    with open(tmp_path / "full.jsonl") as f:
+        want = [json.loads(l)["overrides"] for l in f if l.strip()]
+    assert recs == want  # identical sequence, no duplicates
+    assert resumed["num_runs"] == 4
+
+
+def test_grid_sweep_exhausts_gracefully(tmp_path, monkeypatch):
+    """num_runs beyond the grid size must stop at the grid, not IndexError."""
+    import pldepth_tpu.sweep.sweep as sw
+    from pldepth_tpu.core.config import ExperimentConfig
+
+    _fake_run_single(monkeypatch)
+    space = {"initial_lr": {"values": [0.1, 0.2]},
+             "lr_multi": {"values": [0.5, 1.0]}}
+    monkeypatch.setitem(sw.SEARCH_SPACES, "tiny", space)
+    cfg = ExperimentConfig(seed=0, output_dir=str(tmp_path))
+    out = sw.run_sweep(cfg, num_runs=8, search="grid", target="loss",
+                       space_name="tiny",
+                       state_path=str(tmp_path / "g.jsonl"))
+    assert out["num_runs"] == 4
+    assert out["best"] is not None
+
+
+def test_unknown_sweep_target_rejected(tmp_path):
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.sweep.sweep import run_sweep
+
+    with pytest.raises(ValueError, match="target"):
+        run_sweep(ExperimentConfig(output_dir=str(tmp_path)), num_runs=1,
+                  target="nonsense")
