@@ -200,6 +200,4 @@ def get_dataset(name: str, **kwargs) -> DepthDataset:
     key = canonical.get(name.lower().replace("_", "-")) or canonical.get(name.lower())
     if key is None:
         raise ValueError(f"Unknown dataset name: {name} (have {sorted(DATASETS)})")
-    if key == "HR-WSI":
-        return load_hrwsi(**kwargs)
     return DATASETS[key](**kwargs)

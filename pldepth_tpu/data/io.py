@@ -37,7 +37,9 @@ def read_image(path: str, num_channels: int = 3) -> np.ndarray:
     arr = np.asarray(img)
     if arr.ndim == 2:
         arr = arr[..., None]
-    if arr.dtype == np.uint16:
+    if arr.dtype == np.uint16 or img.mode in ("I", "I;16"):
+        # PIL decodes 16-bit grayscale PNGs as mode "I" (int32 array);
+        # dividing those by 255 would return values up to ~257
         return arr.astype(np.float32) / 65535.0
     return arr.astype(np.float32) / 255.0
 

@@ -82,6 +82,7 @@ class BatchIterator:
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._stopped = False
+        self._done = False
         self._thread.start()
 
     def _index_stream(self):
@@ -92,7 +93,12 @@ class BatchIterator:
             if self.shuffle:
                 np.random.default_rng((self.seed, epoch)).shuffle(idx)
             if self.num_shards > 1:
-                idx = idx[self.shard_index :: self.num_shards]
+                # truncate to the COMMON per-shard length: when len(ds) is
+                # not divisible by num_shards a stride slice gives hosts
+                # different batch counts per epoch, silently desynchronizing
+                # their epoch permutations from the first uneven epoch on
+                common = len(idx) // self.num_shards
+                idx = idx[self.shard_index :: self.num_shards][:common]
             n_batches = len(idx) // self.batch_size
             if skip >= n_batches:
                 skip -= n_batches
@@ -104,29 +110,53 @@ class BatchIterator:
                 return
             epoch += 1
 
+    def _put(self, item) -> bool:
+        """Bounded put that keeps observing the stop flag: a producer
+        blocked in a plain Queue.put() (the steady state — queue full)
+        would never see close() and leak the thread + prefetched batches."""
+        while not self._stopped:
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _producer(self):
         try:
             for batch_idx in self._index_stream():
                 if self._stopped:
                     return
-                self._q.put(_stack([self.ds[int(i)] for i in batch_idx]))
-            self._q.put(None)
+                if not self._put(_stack([self.ds[int(i)] for i in batch_idx])):
+                    return
+            self._put(None)
         except Exception as e:  # pragma: no cover
-            self._q.put(e)
+            self._put(e)
 
     def __iter__(self):
         return self
 
     def __next__(self) -> Dict[str, np.ndarray]:
+        if self._done:
+            raise StopIteration  # stay exhausted: the sentinel was consumed
         item = self._q.get()
         if item is None:
+            self._done = True
             raise StopIteration
         if isinstance(item, Exception):
+            self._done = True
             raise item
         return item
 
     def close(self):
         self._stopped = True
+        # unblock a producer waiting on a full queue and drop its batches
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
 
 
 def pregenerate_val_rankings(

@@ -43,7 +43,7 @@ class Evaluator:
             self.batch_size = eval_batch_size
 
     def _predict_dataset(self, ds: DepthDataset, limit: Optional[int] = None):
-        n = min(len(ds), limit) if limit else len(ds)
+        n = min(len(ds), limit) if limit is not None else len(ds)
         for start in range(0, n, self.batch_size):
             idxs = range(start, min(start + self.batch_size, n))
             items = [ds[i] for i in idxs]
@@ -159,9 +159,16 @@ class Evaluator:
         """Cross-dataset ordinal eval (BASELINE.json config #4)."""
         out = {}
         for ds in datasets:
+            # one inference pass scores both metrics (calc_err twice would
+            # re-run the model over the whole dataset)
+            inv = ds.asc_depth_order
+            errs, whdrs = [], []
+            for p, g in self._predict_dataset(ds, limit):
+                errs.append(M.ordinal_error(p, g, invert_pred_order=inv))
+                whdrs.append(M.whdr(p, g, tau=0.03, invert_pred_order=inv))
             out[ds.name] = {
-                "ordinal_error": self.calc_err(ds, limit=limit),
-                "whdr_0.03": self.calc_err(ds, limit=limit, tau=0.03),
+                "ordinal_error": float(np.mean(errs)),
+                "whdr_0.03": float(np.mean(whdrs)),
             }
             log.info("zero-shot %s: %s", ds.name, out[ds.name])
         return out

@@ -89,22 +89,57 @@ class MetricLogger:
                **metrics}
         self._jsonl.write(json.dumps(rec, default=float) + "\n")
         self._jsonl.flush()
-        if self._csv_fields is None:
-            self._csv_fields = list(rec.keys())
-            self._csv_file = open(self._csv_path, "a", newline="")
-            self._csv = csv.DictWriter(
-                self._csv_file, fieldnames=self._csv_fields, extrasaction="ignore"
-            )
-            if os.path.getsize(self._csv_path) == 0:
-                self._csv.writeheader()
-        self._csv.writerow({k: rec.get(k) for k in self._csv_fields})
-        self._csv_file.flush()
+        self._write_csv(rec)
         if self._wandb is not None:  # pragma: no cover
             self._wandb.log(metrics, step=step)
         if self._tb is not None:
             for k, v in metrics.items():
                 if isinstance(v, (int, float)) and v is not None:
                     self._tb.add_scalar(k, v, global_step=step)
+        self._log_backends(metrics, step)
+
+    def _write_csv(self, rec: Dict[str, Any]):
+        """CSV row with a schema that GROWS: the first record must not
+        freeze the column set (per-step `step_*` records used to lock out
+        every later epoch record's loss/val_loss/lr columns via
+        extrasaction='ignore'). New keys rewrite the file with the union
+        header, preserving prior rows."""
+        if self._csv_fields is None and os.path.exists(self._csv_path):
+            # --resume: adopt the existing header so prior columns survive
+            with open(self._csv_path, newline="") as f:
+                first = f.readline().strip()
+            self._csv_fields = first.split(",") if first else None
+        fields = self._csv_fields or []
+        new_keys = [k for k in rec if k not in fields]
+        if new_keys:
+            fields = fields + new_keys
+            rows = []
+            if self._csv_file is not None:
+                self._csv_file.close()
+                self._csv_file = None
+            if os.path.exists(self._csv_path):
+                with open(self._csv_path, newline="") as f:
+                    rows = list(csv.DictReader(f))
+            self._csv_file = open(self._csv_path, "w", newline="")
+            self._csv = csv.DictWriter(
+                self._csv_file, fieldnames=fields, extrasaction="ignore"
+            )
+            self._csv.writeheader()
+            for r in rows:
+                self._csv.writerow(r)
+            self._csv_fields = fields
+        if self._csv_file is None:  # schema already known (e.g. resume)
+            self._csv_file = open(self._csv_path, "a", newline="")
+            self._csv = csv.DictWriter(
+                self._csv_file, fieldnames=self._csv_fields,
+                extrasaction="ignore",
+            )
+            if os.path.getsize(self._csv_path) == 0:
+                self._csv.writeheader()
+        self._csv.writerow({k: rec.get(k) for k in self._csv_fields})
+        self._csv_file.flush()
+
+    def _log_backends(self, metrics: Dict[str, Any], step: Optional[int]):
         if self._mlflow is not None:
             scalars = {
                 k: float(v) for k, v in metrics.items()
@@ -148,10 +183,13 @@ class MetricLogger:
         captions = captions or {}
         for name, arr in images.items():
             a = np.squeeze(np.asarray(arr)).astype(np.float64)
-            lo, hi = float(a.min()), float(a.max())
-            u8 = np.zeros_like(a, np.uint8) if hi - lo < 1e-12 else (
-                (a - lo) * 255.0 / (hi - lo)
-            ).astype(np.uint8)
+            if a.ndim == 3:  # RGB in [0,1] passes through (docstring contract)
+                u8 = (a * 255.0).clip(0, 255).astype(np.uint8)
+            else:  # grayscale maps are min-max scaled
+                lo, hi = float(a.min()), float(a.max())
+                u8 = np.zeros_like(a, np.uint8) if hi - lo < 1e-12 else (
+                    (a - lo) * 255.0 / (hi - lo)
+                ).astype(np.uint8)
             try:
                 from PIL import Image
 

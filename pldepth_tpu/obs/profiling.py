@@ -31,5 +31,8 @@ def step_timer(sink, name: str = "step"):
     called by the block on its outputs for accuracy; we sync all devices)."""
     t0 = time.perf_counter()
     yield
-    (jax.device_put(0.0) + 0).block_until_ready()  # fence
+    # fence EVERY device: a single device_put lands on the default device
+    # only, so straggler devices' tail work would be excluded
+    for d in jax.local_devices():
+        (jax.device_put(0.0, d) + 0).block_until_ready()
     sink({f"{name}_time_s": time.perf_counter() - t0})

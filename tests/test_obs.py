@@ -147,3 +147,32 @@ def test_tensorboard_sink_writes_event_files(tmp_path):
     lg.close()
     events = glob.glob(os.path.join(str(tmp_path), "tb_run", "tb", "events.*"))
     assert events and os.path.getsize(events[0]) > 0
+
+
+def test_csv_schema_grows_with_new_keys(tmp_path):
+    """Per-step records must not freeze the CSV column set: epoch records
+    logged later keep their loss/val_loss columns (schema rewrite)."""
+    import csv
+
+    ml = MetricLogger(str(tmp_path), "run")
+    ml.log({"step_loss": 1.0}, step=1)
+    ml.log({"loss": 0.5, "val_loss": 0.6}, step=2)
+    ml.log({"step_loss": 0.9}, step=3)
+    with open(tmp_path / "run" / "metrics.csv", newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3
+    assert rows[1]["loss"] == "0.5" and rows[1]["val_loss"] == "0.6"
+    assert rows[0]["step_loss"] == "1.0" and rows[2]["step_loss"] == "0.9"
+
+
+def test_log_images_rgb_passthrough(tmp_path):
+    """A dim RGB image must NOT be min-max stretched (docstring contract:
+    RGB in [0,1] passes through; grayscale is min-max scaled)."""
+    import numpy as np
+    from PIL import Image
+
+    ml = MetricLogger(str(tmp_path), "run")
+    rgb = np.full((8, 8, 3), 0.25, np.float32)
+    ml.log_images({"dim": rgb})
+    arr = np.asarray(Image.open(tmp_path / "run" / "examples" / "dim.png"))
+    assert abs(int(arr.max()) - 64) <= 1  # 0.25*255, not 255
