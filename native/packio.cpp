@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <functional>
 #include <fcntl.h>
 #include <mutex>
 #include <queue>
@@ -97,7 +98,13 @@ struct Prefetcher {
   bool finished = false;
 
   ~Prefetcher() {
-    stop.store(true);
+    {
+      // store under the mutex: a producer that has evaluated its wait
+      // predicate (ring full, stop false) but not yet blocked would miss
+      // a lock-free notify and sleep forever, hanging thread.join()
+      std::lock_guard<std::mutex> lk(mu);
+      stop.store(true);
+    }
     cv_space.notify_all();
     cv_ready.notify_all();
     if (thread.joinable()) thread.join();
@@ -106,6 +113,63 @@ struct Prefetcher {
       delete ready.front();
       ready.pop();
     }
+  }
+};
+
+// Persistent worker pool: fill_batch used to spawn+join fresh threads for
+// EVERY batch (thousands/min of create/destroy jitter on the hot data
+// path). Workers park on a condition variable between batches.
+struct WorkerPool {
+  std::vector<std::thread> threads;
+  std::mutex mu;
+  std::condition_variable cv_go, cv_done;
+  std::function<void(int, int)> job;  // (worker_index, stride)
+  uint64_t epoch = 0;
+  int pending = 0;
+  bool stop = false;
+
+  explicit WorkerPool(int n) {
+    for (int i = 1; i < n; ++i)
+      threads.emplace_back([this, i, n] {
+        uint64_t seen = 0;
+        std::unique_lock<std::mutex> lk(mu);
+        for (;;) {
+          cv_go.wait(lk, [&] { return stop || epoch != seen; });
+          if (stop) return;
+          seen = epoch;
+          auto fn = job;
+          lk.unlock();
+          fn(i, n);
+          lk.lock();
+          if (--pending == 0) cv_done.notify_all();
+        }
+      });
+  }
+  // run fn(worker, stride) on all workers + the caller; blocks until done
+  void run(const std::function<void(int, int)>& fn) {
+    int n = (int)threads.size() + 1;
+    if (n == 1) {
+      fn(0, 1);
+      return;
+    }
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      job = fn;
+      pending = n - 1;
+      ++epoch;
+    }
+    cv_go.notify_all();
+    fn(0, n);
+    std::unique_lock<std::mutex> lk(mu);
+    cv_done.wait(lk, [&] { return pending == 0; });
+  }
+  ~WorkerPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv_go.notify_all();
+    for (auto& t : threads) t.join();
   }
 };
 
@@ -155,6 +219,10 @@ void fill_batch(Reader* r, const uint32_t* idx, uint32_t batch, int workers,
 void prefetch_loop(Prefetcher* p) {
   Reader* r = p->reader;
   const size_t hw = (size_t)r->h * r->w;
+  int nw = p->workers;
+  if (nw > (int)p->batch) nw = (int)p->batch;
+  if (nw < 1) nw = 1;
+  WorkerPool pool(nw);
   std::mt19937_64 rng(p->seed);
   std::vector<uint32_t> order(r->n);
   for (uint32_t i = 0; i < r->n; ++i) order[i] = i;
@@ -179,15 +247,38 @@ void prefetch_loop(Prefetcher* p) {
       if (p->u8) {
         out->img8.resize((size_t)p->batch * hw * 3);
         out->mask8.resize((size_t)p->batch * hw);
-        fill_batch_u8(r, order.data() + (size_t)bi * p->batch, p->batch,
-                      p->workers, out->img8.data(), out->gt.data(),
-                      out->mask8.data());
+        {
+          const uint32_t* bidx = order.data() + (size_t)bi * p->batch;
+          uint32_t batch = p->batch;
+          uint8_t* img8 = out->img8.data();
+          float* gtp = out->gt.data();
+          uint8_t* mask8 = out->mask8.data();
+          pool.run([&](int wi, int stride) {
+            for (uint32_t b = wi; b < batch; b += stride) {
+              const uint8_t* rec = r->records + (size_t)bidx[b] * r->rec_size;
+              std::memcpy(img8 + (size_t)b * hw * 3, rec, hw * 3);
+              std::memcpy(gtp + (size_t)b * hw, rec + hw * 3,
+                          hw * sizeof(float));
+              std::memcpy(mask8 + (size_t)b * hw, rec + hw * 3 + hw * 4, hw);
+            }
+          });
+        }
       } else {
         out->img.resize((size_t)p->batch * hw * 3);
         out->mask.resize((size_t)p->batch * hw);
-        fill_batch(r, order.data() + (size_t)bi * p->batch, p->batch,
-                   p->workers, out->img.data(), out->gt.data(),
-                   out->mask.data());
+        {
+          const uint32_t* bidx = order.data() + (size_t)bi * p->batch;
+          uint32_t batch = p->batch;
+          float* imgp = out->img.data();
+          float* gtp = out->gt.data();
+          float* maskp = out->mask.data();
+          pool.run([&](int wi, int stride) {
+            for (uint32_t b = wi; b < batch; b += stride) {
+              decode_record(r, bidx[b], imgp + (size_t)b * hw * 3,
+                            gtp + (size_t)b * hw, maskp + (size_t)b * hw);
+            }
+          });
+        }
       }
       std::unique_lock<std::mutex> lk(p->mu);
       p->cv_space.wait(lk, [&] { return p->ready.size() < p->capacity || p->stop.load(); });

@@ -117,6 +117,15 @@ def pack_dataset(ds: DepthDataset, path: str) -> str:
         f.write(_HEADER.pack(_MAGIC, 1, len(ds), h, w))
         for i in range(len(ds)):
             s = ds[i]
+            # records are fixed-size; one deviant sample would silently
+            # shift every later record (the reader's size check still
+            # passes when the file ends up LONGER than expected)
+            if s["gt"].shape != (h, w) or s["image"].shape != (h, w, 3):
+                raise ValueError(
+                    f"sample {i} has shape gt={s['gt'].shape} "
+                    f"image={s['image'].shape}; expected ({h}, {w}) from "
+                    f"sample 0 — resize the dataset before packing"
+                )
             img = np.clip(s["image"] * 255.0 + 0.5, 0, 255).astype(np.uint8)
             f.write(img.tobytes())
             f.write(s["gt"].astype("<f4").tobytes())
@@ -193,6 +202,8 @@ class NativePackedIterator:
             self._h_reader, ctypes.byref(n), ctypes.byref(h), ctypes.byref(w)
         )
         self.n, self.h, self.w = n.value, h.value, w.value
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         if self.n < batch_size:
             raise ValueError(f"{self.n} records cannot fill batch {batch_size}")
         self.batch_size = batch_size

@@ -149,7 +149,6 @@ class EfficientNetEncoder(nn.Module):
     variant: str = "b0"
     drop_connect_rate: float = 0.2
     dtype: Any = jnp.bfloat16
-    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -207,7 +207,7 @@ def plan_encoder(
                     tap=tap,
                 )
             )
-            h, w = h // s, w // s
+            h, w = -(-h // s), -(-w // s)  # SAME conv: ceil, not floor
             in_ch = out_ch
     return plans
 

@@ -65,10 +65,16 @@ class ReDWebFullyFledged(nn.Module):
 
     dtype: Any = jnp.bfloat16
     asc_depth_order: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, pixels=None):
-        c5, taps = ResNet50Encoder(dtype=self.dtype, name="encoder")(x, train)
+        enc_cls = (
+            nn.remat(ResNet50Encoder, static_argnums=(2,))
+            if self.remat
+            else ResNet50Encoder
+        )
+        c5, taps = enc_cls(dtype=self.dtype, name="encoder")(x, train)
         return ReDWebDecoder(dtype=self.dtype, name="decoder")(c5, taps, train, pixels)
 
 
@@ -96,8 +102,10 @@ MODEL_REGISTRY: Dict[str, Callable[..., PLDepthModel]] = {
         ),
         "effnet",
     ),
+    # fused_tail is EfficientNet-decoder-only; accepted and ignored here so
+    # the registry call signature stays uniform
     "ff_redweb": lambda dtype=jnp.bfloat16, remat=False, fused_tail=True: PLDepthModel(
-        "ff_redweb", ReDWebFullyFledged(dtype=dtype), "caffe"
+        "ff_redweb", ReDWebFullyFledged(dtype=dtype, remat=remat), "caffe"
     ),
 }
 for _v in VARIANTS:
@@ -137,15 +145,22 @@ def partition_params(params, freeze_encoder: bool = True):
     """Label each param leaf "trainable" / "frozen".
 
     Frozen = encoder params that are not batch-norm affine, matching the
-    reference's BN-only-trainable encoders (pl_hourglass.py:53-57). Flax
-    batch-norm params live under module names ending in "bn"/"_bn*" with
-    leaf names scale/bias.
+    reference's BN-only-trainable encoders (pl_hourglass.py:53-57,
+    redweb.py:412-416). Flax batch-norm module names here are "...bn",
+    "..._bn..." or ResNet's numbered "bn1"/"bn2"/"bn3"
+    (models/resnet.py Bottleneck), with leaf names scale/bias.
     """
+    import re
+
+    bn_name = re.compile(r"(^|_)bn\d*$|_bn(_|\d|$)")
 
     def label(path: Tuple, _leaf) -> str:
         keys = [getattr(p, "key", str(p)) for p in path]
         in_encoder = any(k == "encoder" for k in keys)
-        is_bn = any(isinstance(k, str) and ("bn" == k or k.endswith("bn") or "_bn" in k) for k in keys)
+        is_bn = any(
+            isinstance(k, str) and ("bn" == k or bn_name.search(k))
+            for k in keys
+        )
         if freeze_encoder and in_encoder and not is_bn:
             return "frozen"
         return "trainable"

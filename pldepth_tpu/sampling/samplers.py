@@ -198,6 +198,14 @@ def _segment_ids(gt, mask, grid: int, depth_bins: int):
 def _segment_draw(key, gt, mask, n_cand: int, k: int, draw_method: str = "auto"):
     """(n_cand, k) flat gt-space indices, each list spanning distinct
     segments (the heterogeneous-segment strategy)."""
+    n_segments = _SEG_GRID * _SEG_GRID * _SEG_DEPTH_BINS
+    if k > n_segments:
+        raise ValueError(
+            f"segment sampler draws at most one pixel per segment: "
+            f"ranking_size {k} > {n_segments} segments "
+            f"({_SEG_GRID}x{_SEG_GRID} tiles x {_SEG_DEPTH_BINS} depth bins); "
+            f"use a smaller ranking_size or another sampling_type"
+        )
     seg_flat, n_seg = _segment_ids(gt, mask, _SEG_GRID, _SEG_DEPTH_BINS)
     hw = seg_flat.shape[0]
     # pixels ordered by segment; per-segment [start, count) windows

@@ -103,3 +103,29 @@ def test_partition_no_freeze_all_trainable():
 def test_registry_contains_scaled_variants():
     assert "ff_effnet_b4" in MODEL_REGISTRY
     assert "ff_effnet_b7" in MODEL_REGISTRY
+
+
+@pytest.mark.slow
+def test_partition_redweb_bn_trainable():
+    """ff_redweb: the numbered bn1/bn2/bn3 BatchNorms inside ResNet
+    bottlenecks must stay trainable under freeze_encoder (the reference
+    keeps ALL encoder BN trainable, redweb.py:412-416); everything else
+    in the encoder freezes."""
+    model = get_pl_depth_net("ff_redweb", compute_dtype="float32")
+    variables = model.init_variables(jax.random.key(0), (S, S, 3))
+    labels = partition_params(variables["params"], freeze_encoder=True)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    bn_seen = 0
+    for path, lab in flat:
+        keys = [str(getattr(p, "key", p)) for p in path]
+        if "encoder" not in keys:
+            assert lab == "trainable"
+            continue
+        is_bn = any(k == "bn" or k.startswith("bn") or k.endswith("bn") or "_bn" in k
+                    for k in keys)
+        if is_bn:
+            bn_seen += 1
+            assert lab == "trainable", keys
+        else:
+            assert lab == "frozen", keys
+    assert bn_seen > 20  # stem + 3 per bottleneck

@@ -100,3 +100,31 @@ def test_malformed_files_rejected(packed, tmp_path):
         # the good file still opens after the failed attempts
         it = NativePackedIterator(good, batch_size=2)
         assert next(iter(it))["image"].shape[0] == 2
+
+
+def test_pack_dataset_rejects_shape_drift(tmp_path):
+    """A sample whose shape differs from sample 0 must fail loudly at pack
+    time (it would silently shift every later record)."""
+
+    class Drifting:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            size = 16 if i != 2 else 20
+            return {
+                "image": np.zeros((size, size, 3), np.float32),
+                "gt": np.zeros((size, size), np.float32),
+                "mask": np.ones((size, size), np.float32),
+            }
+
+    with pytest.raises(ValueError, match="sample 2"):
+        pack_dataset(Drifting(), str(tmp_path / "bad.pldpack"))
+
+
+def test_native_iterator_rejects_zero_batch(packed):
+    _, path = packed
+    if not build_native():
+        pytest.skip("native unavailable")
+    with pytest.raises(ValueError, match="batch_size"):
+        NativePackedIterator(path, batch_size=0)

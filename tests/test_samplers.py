@@ -296,3 +296,20 @@ def test_default_oversample_factor_is_per_sampler_spec():
     assert SAMPLERS["masked"].oversample_factor == 1.5
     assert SAMPLERS["thresholded"].oversample_factor == 1.5
     assert SAMPLERS["info_score"].oversample_factor == 5.0
+
+
+def test_segment_sampler_rejects_oversized_k():
+    """ranking_size beyond the 64 segments must fail with a clear message,
+    not an opaque XLA top_k error."""
+    import jax
+    import jax.numpy as jnp
+
+    from pldepth_tpu.sampling.samplers import sample_rankings
+
+    gt = jnp.linspace(0, 1, 32 * 32).reshape(32, 32)
+    mask = jnp.ones((32, 32))
+    with pytest.raises(ValueError, match="segment"):
+        sample_rankings(
+            jax.random.PRNGKey(0), gt, mask,
+            sampler_name="segment", rankings_per_image=4, ranking_size=65,
+        )
