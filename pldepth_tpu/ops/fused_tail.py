@@ -71,11 +71,6 @@ def compose_upsample_conv_kernel(w: jax.Array) -> jax.Array:
     return jnp.transpose(k, (1, 2, 3, 0, 4)).reshape(3, 3, c, 4 * f)
 
 
-def compose_upsample_head_kernel(w: jax.Array) -> jax.Array:
-    """(3,3,C,1) head special case of :func:`compose_upsample_conv_kernel`."""
-    return compose_upsample_conv_kernel(w)
-
-
 def _conv_same(x: jax.Array, w: jax.Array) -> jax.Array:
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="SAME",

@@ -7,23 +7,24 @@ Layout choice: the (N, K) list matrix is transposed to (K, N) so that
 * the K list positions run down the *sublane* axis, where the reversed
   cumulative sums the loss needs are cheap vector ops.
 
-Forward (per lane / list), with m = max_k s_k:
+Forward (per lane / list): lse_k = log sum_{j>=k} exp(s_j) computed as an
+exact per-suffix logsumexp via a doubling (Hillis-Steele) logaddexp scan
+down the sublane axis — ceil(log2 K_pad) rounds of shift + max + log1p.
+A single-global-max formulation (exp(s - max) then a suffix-sum matmul)
+is NOT safe here: when a suffix's own max sits more than ~87 below the
+list max, every term underflows float32 and the clamped log returns
+max-85 instead of the suffix max, silently corrupting loss and gradient
+(observed: true NLL 2e-22 reported as 34.8). nll = sum_k (lse_k - s_k).
 
-    e_k   = exp(s_k - m)
-    rev_k = sum_{j >= k} e_j            (reverse cumsum: total - cumsum + e)
-    lse_k = log(rev_k) + m              = log sum_{j>=k} exp(s_j)
-    nll   = sum_k (lse_k - s_k)
+Backward (stable closed form):
 
-Backward (stable closed form; lse is non-increasing so lse_{K-1} = min):
+    dL/ds_j = sum_{i <= j} exp(s_j - lse_i) - 1 = exp(s_j + P_j) - 1,
+      P_j   = log sum_{i <= j} exp(-lse_i)   (prefix logaddexp scan)
 
-    dL/ds_j = sum_{i <= j} exp(s_j - lse_i) - 1
-            = exp(s_j - lse_{K-1} + log C_j) - 1,
-      C_j   = cumsum_{i <= j} exp(lse_{K-1} - lse_i)   (all terms <= 1)
-
-Every exponent above is bounded by log(K)+O(1) because the true gradient lies
-in [-1, K], so the whole pass stays in float32 with no overflow. K is padded
-to the 8-sublane float32 tile and masked with a -1e30 sentinel; N is padded
-to the lane width.
+Each term exp(s_j - lse_i) is <= 1 for i <= j, so s_j + P_j <= log(j+1)
+and the whole pass stays exact in float32 for ANY in-list spread. K is
+padded to the 8-sublane float32 tile and masked with a -1e30 sentinel; N
+is padded to the lane width.
 
 This replaces the ``tensorflow_ranking`` ListMLE graph of the reference
 (pldepth/losses/nll_loss.py:36, sort + logcumsumexp built from many TF ops)
@@ -42,7 +43,6 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 _SUBLANES = 8
 _NEG = -1e30
-_TINY = 1e-37
 
 
 def _round_up(x: int, m: int) -> int:
@@ -69,23 +69,43 @@ def _interpret() -> bool:
     return not on_tpu()
 
 
-def _suffix_sum_matrix(k_pad: int):
-    """M[k, j] = 1 iff j >= k, so (M @ e)[k] = sum_{j>=k} e_j.
+def _suffix_lse(s):
+    """Exact per-suffix logsumexp along axis 0 (sublanes), all suffixes at
+    once: L_k = log sum_{j>=k} exp(s_j). Doubling logaddexp scan — each
+    round combines L_k with L_{k+d} via the stable max + log1p form, with
+    _NEG fill below the list (exp(_NEG - x) == 0, so padding is inert).
+    Mosaic has no cumulative-op lowering; the shifts are static
+    slice+concat (the 32-bit-safe pattern from ops/fused_mbconv.py)."""
+    k_pad = s.shape[0]
+    out = s
+    d = 1
+    while d < k_pad:
+        shifted = jnp.concatenate(
+            [out[d:], jnp.full((d,) + out.shape[1:], _NEG, out.dtype)],
+            axis=0,
+        )
+        mx = jnp.maximum(out, shifted)
+        mn = jnp.minimum(out, shifted)
+        out = mx + jnp.log1p(jnp.exp(mn - mx))
+        d *= 2
+    return out
 
-    Cumulative sums along sublanes are expressed as a tiny triangular matmul:
-    Mosaic has no cumsum lowering, and on TPU an (8..128)^2 MXU matmul is
-    effectively free next to the exp/log traffic.
-    """
-    row = jax.lax.broadcasted_iota(jnp.int32, (k_pad, k_pad), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (k_pad, k_pad), 1)
-    return (col >= row).astype(jnp.float32)
 
-
-def _prefix_sum_matrix(k_pad: int):
-    """M[k, j] = 1 iff j <= k, so (M @ w)[k] = sum_{i<=k} w_i."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (k_pad, k_pad), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (k_pad, k_pad), 1)
-    return (col <= row).astype(jnp.float32)
+def _prefix_lse(s):
+    """Prefix twin of :func:`_suffix_lse`: L_k = log sum_{i<=k} exp(s_i)."""
+    k_pad = s.shape[0]
+    out = s
+    d = 1
+    while d < k_pad:
+        shifted = jnp.concatenate(
+            [jnp.full((d,) + out.shape[1:], _NEG, out.dtype), out[:-d]],
+            axis=0,
+        )
+        mx = jnp.maximum(out, shifted)
+        mn = jnp.minimum(out, shifted)
+        out = mx + jnp.log1p(jnp.exp(mn - mx))
+        d *= 2
+    return out
 
 
 def _fwd_kernel(k_actual: int, s_ref, nll_ref, lse_ref):
@@ -93,12 +113,7 @@ def _fwd_kernel(k_actual: int, s_ref, nll_ref, lse_ref):
     kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     valid = kidx < k_actual
 
-    m = jnp.max(s, axis=0, keepdims=True)  # padded rows can't win: -1e30
-    e = jnp.exp(s - m)  # padded rows -> exp(-huge) == 0
-    rev = jnp.dot(  # sum_{j>=k} e_j via suffix-sum matmul (MXU)
-        _suffix_sum_matrix(s.shape[0]), e, preferred_element_type=jnp.float32
-    )
-    lse = jnp.log(jnp.maximum(rev, _TINY)) + m
+    lse = _suffix_lse(s)  # exact per-suffix logsumexp (module docstring)
     lse_ref[:] = lse
     nll_ref[:] = jnp.sum(jnp.where(valid, lse - s, 0.0), axis=0, keepdims=True)
 
@@ -110,12 +125,14 @@ def _bwd_kernel(k_actual: int, s_ref, lse_ref, g_ref, ds_ref):
     kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     valid = kidx < k_actual
 
-    lse_last = lse[k_actual - 1 : k_actual, :]  # smallest lse (non-increasing)
-    w = jnp.where(valid, jnp.exp(lse_last - lse), 0.0)  # terms in (0, 1]
-    c = jnp.dot(  # prefix sums along list positions, as a matmul
-        _prefix_sum_matrix(s.shape[0]), w, preferred_element_type=jnp.float32
-    )
-    d = jnp.exp(s - lse_last + jnp.log(jnp.maximum(c, _TINY))) - 1.0
+    # dL/ds_j = sum_{i<=j} exp(s_j - lse_i) - 1 = exp(s_j + P_j) - 1 with
+    # P_j = log sum_{i<=j} exp(-lse_i) (prefix logaddexp scan). Every
+    # exponent is bounded by log(j+1) since each term exp(s_j - lse_i) <= 1
+    # for i <= j. The previous shared-pivot form (prefix sums of
+    # exp(lse_last - lse)) underflowed for in-list spreads > ~87, the same
+    # failure mode the forward had (module docstring).
+    p = _prefix_lse(jnp.where(valid, -lse, _NEG))
+    d = jnp.exp(s + p) - 1.0
     ds_ref[:] = jnp.where(valid, d, 0.0) * g
 
 

@@ -22,10 +22,17 @@ def resize_bilinear(img: jax.Array, size: Sequence[int]) -> jax.Array:
     return jax.image.resize(img, out_shape, method="bilinear", antialias=False)
 
 
-def resize_nearest(img: jax.Array, size: Sequence[int]) -> jax.Array:
-    """Nearest-neighbor resize (masks; reference hr_wsi.py:73-74)."""
-    if img.ndim == 2:
-        out_shape = (int(size[0]), int(size[1]))
+def resize_nearest(
+    img: jax.Array, size: Sequence[int], channel_last: bool = True
+) -> jax.Array:
+    """Nearest-neighbor resize (masks; reference hr_wsi.py:73-74).
+
+    2-D inputs are (H, W). Higher ranks are (..., H, W, C) by default; a
+    batched channel-less mask stack (B, H, W) must pass
+    ``channel_last=False`` — silently treating it as (H, W, C) would
+    resample the batch axis and leave W untouched."""
+    if img.ndim == 2 or not channel_last:
+        out_shape = (*img.shape[:-2], int(size[0]), int(size[1]))
     else:
         out_shape = (*img.shape[:-3], int(size[0]), int(size[1]), img.shape[-1])
     return jax.image.resize(img, out_shape, method="nearest")

@@ -10,6 +10,7 @@ mirrors ModelCheckpoint(save_best_only, monitor=val_loss).
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 from typing import Optional
@@ -39,7 +40,18 @@ class CheckpointManager:
                 enable_async_checkpointing=async_save,
             ),
         )
+        self._best_path = os.path.join(self.directory, "best_val.json")
         self.best_val = float("inf")
+        if os.path.exists(self._best_path):
+            # persists across --resume: without this, the first post-resume
+            # validation always looked like a new "best" and could rotate
+            # the true-best checkpoint out of max_to_keep
+            try:
+                with open(self._best_path) as f:
+                    self.best_val = float(json.load(f)["best_val"])
+            except Exception:  # corrupt marker: fall back to fresh tracking
+                log.warning("unreadable %s; best-val tracking resets",
+                            self._best_path)
 
     def save(self, step: int, state, metrics: Optional[dict] = None,
              force=False, wait: bool = False):
@@ -57,6 +69,8 @@ class CheckpointManager:
         """save_best_only semantics on val_loss (tracking_utils.py:27-30)."""
         if val_loss < self.best_val:
             self.best_val = val_loss
+            with open(self._best_path, "w") as f:
+                json.dump({"best_val": float(val_loss), "step": int(step)}, f)
             self.save(step, state, metrics={"val_loss": val_loss}, force=True)
             return True
         return False
@@ -73,8 +87,13 @@ class CheckpointManager:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        # abstract template: restoring against shape/dtype structs avoids a
+        # full device->host gather of the freshly-initialized state
+        abstract = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state_template
+        )
         restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(jax.device_get(state_template))
+            step, args=ocp.args.StandardRestore(abstract)
         )
         return restored
 

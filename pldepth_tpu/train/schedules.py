@@ -34,6 +34,15 @@ def sgdr_schedule(
 ):
     """lr(t) = min + 0.5*(max*decay^c - min)*(1 + cos(pi * frac_in_cycle))."""
 
+    if mult_factor < 1.0:
+        # the cycle-index inversion log1p(t*(m-1)/l0)/log(m) is only valid
+        # for a non-terminating geometric series; m < 1 sums to
+        # l0/(1-m) total steps, past which the lr would be NaN
+        raise ValueError(
+            f"sgdr mult_factor must be >= 1 (shrinking cycles terminate "
+            f"after steps_per_cycle/(1-m) steps); got {mult_factor}"
+        )
+
     def schedule(step):
         t = jnp.asarray(step, jnp.float32)
         l0 = jnp.float32(steps_per_cycle)

@@ -108,3 +108,22 @@ def test_async_save_drains_on_close(trained, tmp_path):
     mgr2 = CheckpointManager(str(tmp_path / "async"), keep=2)
     assert mgr2.latest_step() == 2
     mgr2.close()
+
+
+def test_best_val_persists_across_managers(tmp_path, trained):
+    """save_best_only across --resume: a new manager over the same dir must
+    remember the prior best so a worse post-resume val_loss is NOT saved
+    as 'best'."""
+    from pldepth_tpu.train.checkpoint import CheckpointManager
+
+    _trainer, state = trained
+    d = str(tmp_path / "ck")
+    m1 = CheckpointManager(d, async_save=False)
+    assert m1.maybe_save_best(1, state, 0.30)
+    m1.close()
+
+    m2 = CheckpointManager(d, async_save=False)
+    assert m2.best_val == 0.30
+    assert not m2.maybe_save_best(2, state, 0.45)  # worse: rejected
+    assert m2.maybe_save_best(3, state, 0.25)  # better: accepted
+    m2.close()

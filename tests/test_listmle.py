@@ -158,3 +158,22 @@ def test_listmle_sweep_extreme_k500(impl, rng):
         jnp.array(scores)
     )
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_listmle_large_inlist_spread_exact(impl):
+    """Scores spanning more than the float32 exp range (~87) within one
+    list: a single-global-max kernel underflows every term of the deep
+    suffixes and reports a huge spurious loss (observed 34.8 vs 2e-22).
+    The per-suffix logsumexp must stay exact and the gradient of an
+    already-perfectly-ordered list must be ~0."""
+    scores = np.array([[0.0, -50.0, -120.0], [5.0, -100.0, -230.0]],
+                      np.float32)
+    labels = np.tile(np.array([3.0, 2.0, 1.0], np.float32), (2, 1))
+    got = np.asarray(listmle_nll(jnp.array(scores), jnp.array(labels), impl=impl))
+    want = pl_nll_numpy(scores, labels)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    g = jax.grad(lambda s: listmle_nll(s, jnp.array(labels), impl=impl).sum())(
+        jnp.array(scores)
+    )
+    assert np.abs(np.asarray(g)).max() < 1e-4

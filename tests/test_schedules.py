@@ -53,3 +53,14 @@ def test_build_schedule_sgdr_decays_to_lr_multi():
     sched = build_schedule(cfg, steps_per_epoch=5)
     assert np.isclose(float(sched(0)), 0.01)
     np.testing.assert_allclose(float(sched(19)), 0.0025, rtol=3e-2)
+
+
+def test_sgdr_rejects_shrinking_cycles():
+    """mult_factor < 1 terminates the geometric cycle series and then
+    produces NaN learning rates; reject it up front."""
+    import pytest
+
+    from pldepth_tpu.train.schedules import sgdr_schedule
+
+    with pytest.raises(ValueError, match="mult_factor"):
+        sgdr_schedule(0.1, 0.001, 100, mult_factor=0.5)
