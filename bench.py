@@ -92,7 +92,11 @@ def main() -> None:
         ranking_size=int(os.environ.get("BENCH_K", 5)),
         rankings_per_image=100,
         sampling_type=1,  # info-score
-        freeze_encoder=False,
+        # Reference semantics: BN-only-trainable encoder (pl_hourglass.py:
+        # 53-57) — the TF2-CPU denominator (tools/measure_tf_baseline.py)
+        # measures the same frozen config. BENCH_FREEZE=0 restores the
+        # heavier full-encoder-training step measured in earlier sessions.
+        freeze_encoder=bool(int(os.environ.get("BENCH_FREEZE", "1"))),
         initial_lr=1e-3,
         sparse_tail=bool(int(os.environ.get("BENCH_SPARSE_TAIL", "0"))),
         fused_tail=bool(int(os.environ.get("BENCH_FUSED_TAIL", "1"))),
@@ -260,6 +264,7 @@ def main() -> None:
             "ranking_size": cfg.ranking_size,
             "rankings_per_image": cfg.rankings_per_image,
             "sampler": "info_score",
+            "freeze_encoder": cfg.freeze_encoder,
             "sparse_tail": cfg.sparse_tail,
         },
         "images_per_sec_device": ips,

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import os
 import signal
 import threading
 import time
@@ -50,6 +51,11 @@ from pldepth_tpu.sampling import get_sampler, sample_rankings_batch
 from pldepth_tpu.train.schedules import build_schedule
 
 log = logging.getLogger(__name__)
+
+# Measurement escape hatch: disable the stop_gradient on frozen encoder
+# leaves (see Trainer._build_train_step.loss_fn) to restore the old
+# compute-then-zero backward for A/B benchmarking.
+_NO_SG_FROZEN = os.environ.get("PLDEPTH_NO_SG_FROZEN") == "1"
 
 
 class TrainState(struct.PyTreeNode):
@@ -280,6 +286,23 @@ class Trainer:
                 pixels = None
 
             def loss_fn(params):
+                # Frozen encoder leaves enter the forward under stop_gradient:
+                # their grads become symbolic zeros, so XLA eliminates every
+                # frozen weight-grad convolution AND the activation saves they
+                # would need. Without this the finite-guard below (which reads
+                # every grad leaf) keeps that dead backward work alive — the
+                # optimizer was already zeroing those updates
+                # (set_to_zero partition in make_optimizer). Escape hatch for
+                # A/B measurement: PLDEPTH_NO_SG_FROZEN=1.
+                if cfg.freeze_encoder and not _NO_SG_FROZEN:
+                    labels = partition_params(params, True)
+                    params = jax.tree_util.tree_map(
+                        lambda p, l: jax.lax.stop_gradient(p)
+                        if l == "frozen"
+                        else p,
+                        params,
+                        labels,
+                    )
                 pred, updates = model.module.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     x,
