@@ -96,6 +96,10 @@ def main() -> None:
         # 53-57) — the TF2-CPU denominator (tools/measure_tf_baseline.py)
         # measures the same frozen config. BENCH_FREEZE=0 restores the
         # heavier full-encoder-training step measured in earlier sessions.
+        # NOTE: numbers recorded before 2026-08-19 (early bench_detail.json
+        # entries) were measured with freeze_encoder=False — rerun with
+        # BENCH_FREEZE=0 when comparing against them; the flag is recorded
+        # in the output config either way.
         freeze_encoder=bool(int(os.environ.get("BENCH_FREEZE", "1"))),
         initial_lr=1e-3,
         sparse_tail=bool(int(os.environ.get("BENCH_SPARSE_TAIL", "0"))),

@@ -294,6 +294,11 @@ class Trainer:
                 # optimizer was already zeroing those updates
                 # (set_to_zero partition in make_optimizer). Escape hatch for
                 # A/B measurement: PLDEPTH_NO_SG_FROZEN=1.
+                # Guard-coverage note: with stop_gradient the frozen leaves'
+                # grads are constant zeros, so the finite guard no longer sees
+                # NaN/Inf that occur ONLY in frozen encoder weight grads
+                # (benign: those updates were zeroed anyway, and a non-finite
+                # activation still poisons the loss or trainable grads).
                 if cfg.freeze_encoder and not _NO_SG_FROZEN:
                     labels = partition_params(params, True)
                     params = jax.tree_util.tree_map(

@@ -29,6 +29,13 @@ def run(no_sg: bool):
         model_name="ff_effnet", input_size=64, batch_size=2,
         ranking_size=3, rankings_per_image=4, seed=7,
         compute_dtype="float32",
+        # Large eps makes the first amsgrad step ~linear in the gradient
+        # (update ≈ lr·g). With the keras-default 1e-7 eps, leaves whose TRUE
+        # grad is zero (decoder conv biases feed straight into train-mode BN)
+        # get 1e-12 numeric-noise grads normalized up to O(lr) updates with
+        # arbitrary signs — which legitimately differ between the two HLO
+        # graphs and would fail the comparison while meaning nothing.
+        adam_eps=1.0,
     )
     tr = T.Trainer(cfg, steps_per_epoch=2, mesh=make_mesh(devices=jax.devices()[:1]))
     state = tr.init_state()
@@ -38,10 +45,13 @@ def run(no_sg: bool):
         "gt": rng.rand(2, 64, 64).astype(np.float32),
         "mask": np.ones((2, 64, 64), np.float32),
     }
+    # Capture init params BEFORE the step: train_step donates its state arg
+    # (donate_argnums), so state.params buffers are deleted by the call.
+    init = jax.device_get(state.params)
+    labels = partition_params(init, True)
     new_state, metrics = tr.train_step(state, tr.shard_batch(batch))
-    labels = partition_params(jax.device_get(state.params), True)
     return (
-        jax.device_get(state.params),
+        init,
         jax.device_get(new_state.params),
         labels,
         float(jax.device_get(metrics.loss)),
