@@ -29,9 +29,11 @@ from pldepth_tpu.ops.sparse_tail import sparse_upsample2x_taps
 
 
 def _bn(name: str, train: bool):
+    # use_fast_variance=False: two-pass variance matching tf.nn.moments
+    # (see models/efficientnet.py _bn for the parity rationale)
     return nn.BatchNorm(
         use_running_average=not train, momentum=0.99, epsilon=1e-3,
-        dtype=jnp.float32, name=name,
+        dtype=jnp.float32, use_fast_variance=False, name=name,
     )
 
 

@@ -80,12 +80,16 @@ class SqueezeExcite(nn.Module):
 
 
 def _bn(name: str, train: bool):
-    # float32 batch-norm (stats and affine in fp32) under bf16 compute
+    # float32 batch-norm (stats and affine in fp32) under bf16 compute.
+    # use_fast_variance=False = two-pass E[(x-mean)^2], matching tf.nn.moments
+    # (Keras BN); the fast E[x^2]-mean^2 form loses ~3 decimal digits to
+    # cancellation when |mean| >> std, which broke train-mode parity vs TF.
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=0.99,
         epsilon=1e-3,
         dtype=jnp.float32,
+        use_fast_variance=False,
         name=name,
     )
 

@@ -44,6 +44,9 @@ class EffNetFullyFledged(nn.Module):
     asc_depth_order: bool = False
     remat: bool = False
     fused_tail: bool = True
+    # stochastic-depth rate (keras EfficientNet drop_connect_rate default);
+    # 0.0 makes train-mode forwards deterministic (cross-framework parity)
+    drop_connect_rate: float = 0.2
 
     @nn.compact
     def __call__(self, x, train: bool = False, pixels=None):
@@ -53,7 +56,10 @@ class EffNetFullyFledged(nn.Module):
             else EfficientNetEncoder
         )
         top, taps = enc_cls(
-            variant=self.variant, dtype=self.dtype, name="encoder"
+            variant=self.variant,
+            dtype=self.dtype,
+            drop_connect_rate=self.drop_connect_rate,
+            name="encoder",
         )(x, train)
         return SkipConcatDecoder(
             dtype=self.dtype, fused_tail=self.fused_tail, name="decoder"

@@ -62,6 +62,38 @@ def load_backbone(path: str, params, batch_stats) -> Tuple[Any, Any]:
     return new_tree["params"], new_tree["batch_stats"]
 
 
+def overlay_synthetic(params, batch_stats, names) -> Tuple[Any, Any]:
+    """Overlay deterministic ``models/convert.synth_weight`` values onto the
+    tree for every pytree path in ``names``.
+
+    The cross-framework goldens (tools/full_parity_check.py) assign these
+    same values into the reference Keras model; regenerating them here from
+    the names alone lets tests/test_full_parity.py run TF-free without a
+    checked-in weight archive. Unknown names raise (catches tree drift).
+    """
+    from pldepth_tpu.models.convert import synth_weight
+
+    tree = {"params": params, "batch_stats": batch_stats}
+    flat = dict(jax.tree_util.tree_flatten_with_path(tree)[0])
+    by_name = {
+        "/".join(str(getattr(p, "key", p)) for p in k): k for k in flat
+    }
+    unknown = [n for n in names if str(n) not in by_name]
+    if unknown:
+        raise ValueError(f"synthetic overlay: {len(unknown)} unknown paths, "
+                         f"e.g. {unknown[:5]}")
+    updates = {
+        by_name[str(n)]: synth_weight(
+            str(n), np.asarray(flat[by_name[str(n)]]).shape
+        ).astype(np.asarray(flat[by_name[str(n)]]).dtype)
+        for n in names
+    }
+    new_tree = jax.tree_util.tree_map_with_path(
+        lambda k, leaf: updates.get(k, leaf), tree
+    )
+    return new_tree["params"], new_tree["batch_stats"]
+
+
 def save_backbone(path: str, params, batch_stats) -> None:
     """Inverse of :func:`load_backbone` (used to snapshot converted weights)."""
     tree = {"params": params, "batch_stats": batch_stats}

@@ -21,11 +21,14 @@ import jax.numpy as jnp
 
 
 def _bn(name: str, train: bool):
+    # use_fast_variance=False: two-pass variance matching tf.nn.moments
+    # (see models/efficientnet.py _bn for the parity rationale)
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=0.99,
         epsilon=1.001e-5,
         dtype=jnp.float32,
+        use_fast_variance=False,
         name=name,
     )
 
