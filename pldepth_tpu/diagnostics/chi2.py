@@ -30,6 +30,36 @@ def compute_chi_sq(rankings: np.ndarray, ranking_size: int) -> float:
     return float((np.square(gts - expected) / expected).sum(axis=-1).mean())
 
 
+def ranking_stats(rankings: np.ndarray, threshold: float = 0.03) -> Dict[str, float]:
+    """Distributional summary of a set of ranking lists.
+
+    Used by the sampler distributional-parity protocol
+    (tools/sampler_parity_check.py / tests/test_sampler_parity.py): the same
+    statistics are computed over lists drawn by the reference numpy samplers
+    (pldepth/data/sampling.py:100-243) and by the on-device samplers on
+    identical (gt, mask) inputs, following the chi2compare.py:139-161 idea.
+
+    rankings: (N, K, 2) with [..., 1] the ground-truth depths per list.
+    Returns: chi2 (informativeness vs the fixed ideal spread), spread (mean
+    sum of adjacent |depth diffs|), eq_frac (fraction of adjacent pairs that
+    are near-equal under the reference ratio test, depth_utils.py:5-21),
+    sorted_frac (fraction of adjacent pairs in descending order).
+    """
+    gts = np.asarray(rankings)[..., 1]
+    k = gts.shape[-1]
+    diffs = np.diff(gts, axis=-1)
+    eps = 1e-10
+    hi = np.maximum(gts[..., :-1], gts[..., 1:])
+    lo = np.minimum(gts[..., :-1], gts[..., 1:])
+    ratio = (hi + eps) / (lo + eps)
+    return {
+        "chi2": compute_chi_sq(np.asarray(rankings), k),
+        "spread": float(np.abs(diffs).sum(axis=-1).mean()),
+        "eq_frac": float((ratio < 1.0 + threshold).mean()),
+        "sorted_frac": float((diffs <= 1e-9).mean()),
+    }
+
+
 def run_chi2_compare(
     cfg: ExperimentConfig, trials: int = 5, batches_per_trial: int = 25
 ) -> Dict[str, float]:
