@@ -101,6 +101,10 @@ def _reference_options(f):
                      help="path to a .pldpack cache: pack the training split "
                           "once, then stream it through the native C++ "
                           "reader (decode-once data path)"),
+        click.option("--data_resident", default=False, type=click.BOOL,
+                     help="upload the whole train split to device HBM once "
+                          "(6 bytes/pixel) and draw batches on device — "
+                          "zero per-step host traffic (data/resident.py)"),
         click.option("--config_json", default="",
                      help="JSON file with config overrides (applied before "
                           "CLI flags; reference ModelParameters"
@@ -226,7 +230,22 @@ def train(pack_cache="", run_name="", resume=False, **kw):
         start_step = int(jax.device_get(state.step))
         click.echo(f"resumed from step {start_step}")
 
-    if pack_cache:
+    resident_store = None
+    train_iter = None
+    if cfg.data_resident:
+        from pldepth_tpu.data.resident import build_resident_store
+
+        resident_store = build_resident_store(
+            train_ds, trainer.mesh,
+            spatial_axis=trainer._spatial_axis(),
+            shard_index=jax.process_index(),
+            num_shards=jax.process_count(),
+        )
+        click.echo(
+            f"resident store: {resident_store.n} samples, "
+            f"{resident_store.nbytes / 1e9:.2f} GB in HBM"
+        )
+    elif pack_cache:
         from pldepth_tpu.data.packed import NativePackedIterator, pack_dataset
 
         if not os.path.exists(pack_cache):
@@ -283,24 +302,30 @@ def train(pack_cache="", run_name="", resume=False, **kw):
         # the run dir; the reference disabled profiling outright,
         # tracking_utils.py:39)
         from pldepth_tpu.obs.profiling import profile_trace
-
-        warm = trainer.shard_batch(next(train_iter))
-        state, _ = trainer.train_step(state, warm)  # compile outside trace
         import jax as _jax
 
+        def _one_step(st):
+            if resident_store is not None:
+                st, _m = trainer.resident_step(st, resident_store.arrays)
+            else:
+                st, _m = trainer.train_step(
+                    st, trainer.shard_batch(next(train_iter))
+                )
+            return st
+
+        state = _one_step(state)  # compile outside the trace
         _jax.block_until_ready(state)
         with profile_trace(os.path.join(logger.dir, "profile")):
             for _ in range(3):
-                state, _m = trainer.train_step(
-                    state, trainer.shard_batch(next(train_iter))
-                )
+                state = _one_step(state)
             _jax.block_until_ready(state)
 
     state, history = trainer.fit(
         state, train_iter, val_iter_factory=vfac, callbacks=[LogCB()],
-        ckpt=auto_ckpt,
+        ckpt=auto_ckpt, resident_store=resident_store,
     )
-    train_iter.close()
+    if train_iter is not None:
+        train_iter.close()
     auto_ckpt.close()
     if ckpt is not None:
         ckpt.close()  # drain any in-flight async best-model save

@@ -80,6 +80,14 @@ class ExperimentConfig:
     # per-epoch permutation — strictly stronger than the reference's
     # shuffle(1024) window (hourglass_provider.py:60).
     prefetch_depth: int = 2
+    # Device-resident training data (data/resident.py): upload the whole
+    # train split to HBM once (6 bytes/pixel) and draw batches on device —
+    # zero per-step host traffic; fed rate == device step rate. Batch
+    # composition becomes per-step uniform draws with replacement from each
+    # device's shard (the reference's shuffle(1024)+repeat was also not a
+    # true epoch permutation). Requires the split to fit alongside the
+    # model/optimizer in HBM.
+    data_resident: bool = False
 
     # --- schedule / optimizer ---
     schedule: str = "sgdr"  # sgdr | step | constant

@@ -5,11 +5,14 @@ from pldepth_tpu.data.pipeline import (
     train_val_split,
     val_batches,
 )
+from pldepth_tpu.data.resident import ResidentStore, build_resident_store
 
 __all__ = [
     "DATASETS",
     "BatchIterator",
+    "ResidentStore",
     "SyntheticDepthDataset",
+    "build_resident_store",
     "get_dataset",
     "pregenerate_val_rankings",
     "train_val_split",

@@ -93,6 +93,8 @@ class Trainer:
         self._tx: Optional[optax.GradientTransformation] = None
         self._train_step = None
         self._train_step_fixed = None
+        self._raw_train_step = None
+        self._resident_step = None
         self._eval_step = None
         self._jit_predict = {}  # fused flag -> jitted serving fn
         self._stop_requested = False
@@ -369,9 +371,92 @@ class Trainer:
                 "mask": NamedSharding(self.mesh, P(d, h, None)),
             }
         repl = NamedSharding(self.mesh, P())
+        if not fixed_rankings:
+            # unjitted body, reused by the resident-data step (which draws
+            # the batch on device before entering the same computation)
+            self._raw_train_step = train_step
         return jax.jit(
             train_step,
             in_shardings=(repl, batch_sharding),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    def _build_resident_step(self) -> Callable:
+        """Train step over a device-resident dataset (data/resident.py).
+
+        One jit does everything: per-device uniform index draws from the
+        local HBM shard (shard_map over the data axis — the device analogue
+        of shard-local shuffling), u8/u16 decode, then the standard step body
+        (augment + sample + forward + loss + update). Zero per-step
+        host→device traffic — this finishes the kill on the reference's
+        pipeline bottleneck (hourglass_provider.py:55-58): fed rate ==
+        device rate.
+
+        RNG: draw keys come from fold_in(rng_root, step) tagged "resident"
+        and folded with the data-axis index, so every model-axis shard of a
+        sample row draws identical indices (required under spatial
+        partitioning) and the stream is resume-deterministic like the
+        streaming path.
+        """
+        if self._raw_train_step is None:
+            _ = self.train_step  # builds and stores the raw body
+        raw_step = self._raw_train_step
+        cfg = self.cfg
+        d = self.mesh.axis_names[0]
+        dsize = self.mesh.shape[d]
+        if cfg.batch_size % dsize:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by data axis {dsize}"
+            )
+        local_b = cfg.batch_size // dsize
+        h = self._spatial_axis()
+        specs = {
+            "image": P(d, h, None, None),
+            "gt": P(d, h, None),
+            "mask": P(d, h, None),
+        }
+
+        def draw(key, image, gt, mask):
+            # local shard views: (N/D, H or H/M, W, ...)
+            k = jax.random.fold_in(key, jax.lax.axis_index(d))
+            idx = jax.random.randint(k, (local_b,), 0, image.shape[0])
+            return (
+                jnp.take(image, idx, axis=0),
+                jnp.take(gt, idx, axis=0),
+                jnp.take(mask, idx, axis=0),
+            )
+
+        mapped = jax.shard_map(
+            draw,
+            mesh=self.mesh,
+            in_specs=(P(), specs["image"], specs["gt"], specs["mask"]),
+            out_specs=(specs["image"], specs["gt"], specs["mask"]),
+            check_vma=False,
+        )
+
+        def resident_step(state: TrainState, arrays) -> Tuple[TrainState, StepMetrics]:
+            key = jax.random.fold_in(
+                fold_in_str(state.rng_root, "resident"), state.step
+            )
+            image, gt_q, mask = mapped(
+                key, arrays["image"], arrays["gt"], arrays["mask"]
+            )
+            batch = {
+                "image": image,  # u8; the step body decodes
+                "gt": gt_q.astype(jnp.float32) * arrays["gt_scale"],
+                "mask": mask,
+            }
+            return raw_step(state, batch)
+
+        repl = NamedSharding(self.mesh, P())
+        store_sharding = {
+            k: NamedSharding(self.mesh, s) for k, s in specs.items()
+        }
+        store_sharding["gt_scale"] = repl
+        return jax.jit(
+            resident_step,
+            in_shardings=(repl, store_sharding),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
@@ -411,6 +496,14 @@ class Trainer:
         if self._train_step_fixed is None:
             self._train_step_fixed = self._build_train_step(fixed_rankings=True)
         return self._train_step_fixed
+
+    @property
+    def resident_step(self):
+        """Step over a device-resident dataset: (state, store.arrays) ->
+        (state, metrics). See data/resident.py + _build_resident_step."""
+        if self._resident_step is None:
+            self._resident_step = self._build_resident_step()
+        return self._resident_step
 
     @property
     def eval_step(self):
@@ -523,11 +616,12 @@ class Trainer:
     def fit(
         self,
         state: TrainState,
-        train_iter: Iterator[Dict[str, np.ndarray]],
+        train_iter: Optional[Iterator[Dict[str, np.ndarray]]],
         epochs: Optional[int] = None,
         val_iter_factory: Optional[Callable[[], Iterator[Dict[str, np.ndarray]]]] = None,
         callbacks=(),
         ckpt=None,
+        resident_store=None,
     ) -> Tuple[TrainState, Dict[str, list]]:
         """Run the train loop.
 
@@ -538,6 +632,11 @@ class Trainer:
         train_iter with ``start_step=state.step`` so the data stream,
         the per-step RNG (fold_in(rng_root, step)) and the LR schedule all
         line up with the uninterrupted run.
+
+        ``resident_store``: a data/resident.py ResidentStore — train from
+        HBM-resident data with on-device batch draws (zero per-step host
+        traffic); ``train_iter`` is ignored (pass None). Resume stays exact:
+        the draw stream is a pure function of (rng_root, step).
         """
         epochs = epochs if epochs is not None else self.cfg.epochs
         history: Dict[str, list] = {"loss": [], "val_loss": [], "lr": [], "ips": []}
@@ -550,8 +649,9 @@ class Trainer:
         preempted = False
         for cb in callbacks:
             cb.on_train_begin(self)
+        resident = resident_store is not None
         with self._preemption_guard():
-            next_batch = self.shard_batch(next(train_iter))
+            next_batch = None if resident else self.shard_batch(next(train_iter))
             for epoch in range(start_epoch, epochs):
                 t0 = time.time()
                 losses = []
@@ -559,10 +659,15 @@ class Trainer:
                 last_lr = float("nan")
                 first = offset if epoch == start_epoch else 0
                 for step_i in range(first, self.steps_per_epoch):
-                    batch = next_batch
-                    state, metrics = self.train_step(state, batch)
-                    # overlap the next host fetch + H2D transfer with the step
-                    next_batch = self.shard_batch(next(train_iter))
+                    if resident:
+                        state, metrics = self.resident_step(
+                            state, resident_store.arrays
+                        )
+                    else:
+                        batch = next_batch
+                        state, metrics = self.train_step(state, batch)
+                        # overlap next host fetch + H2D transfer with the step
+                        next_batch = self.shard_batch(next(train_iter))
                     losses.append(metrics.loss)
                     finites.append(metrics.finite)
                     last_lr = metrics.lr
