@@ -273,6 +273,24 @@ def main() -> None:
     except Exception as e:  # keep the bench robust
         print(f"# resident-data bench skipped: {e}", file=sys.stderr)
 
+    # --- chained resident dispatch (Trainer.resident_chain): scan_len steps
+    # in ONE jit call — the steady-state production mode (--data_resident
+    # --resident_chain_steps N). The gap between this and ips_resident is
+    # pure per-step dispatch latency (large through the tunnel, small on a
+    # TPU VM).
+    ips_resident_chain = None
+    if ips_resident is not None:
+        try:
+            chain = trainer.resident_chain(scan_len)
+            state, m = chain(state, store.arrays)  # compile
+            jax.block_until_ready(m.loss)
+            t0 = time.time()
+            state, m = chain(state, store.arrays)
+            jax.block_until_ready(m.loss)
+            ips_resident_chain = scan_len * batch / (time.time() - t0)
+        except Exception as e:  # keep the bench robust
+            print(f"# resident-chain bench skipped: {e}", file=sys.stderr)
+
     baseline = None
     base_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
     if os.path.exists(base_path):
@@ -299,6 +317,7 @@ def main() -> None:
         "images_per_sec_with_host_pipeline": ips_host,
         "images_per_sec_with_native_pipeline": ips_native,
         "images_per_sec_resident_data": ips_resident,
+        "images_per_sec_resident_chain": ips_resident_chain,
         "loss_sample": float(jax.device_get(m.loss)),
         "baseline_tf2_cpu_images_per_sec": baseline,
         "devices": [str(d) for d in jax.devices()],

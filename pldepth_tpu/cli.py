@@ -105,6 +105,20 @@ def _reference_options(f):
                      help="upload the whole train split to device HBM once "
                           "(6 bytes/pixel) and draw batches on device — "
                           "zero per-step host traffic (data/resident.py)"),
+        click.option("--resident_chain_steps", default=1, type=click.INT,
+                     help="with --data_resident: steps per jit dispatch "
+                          "(lax.scan chain; removes per-step dispatch "
+                          "latency, coarsens preemption to one chunk)"),
+        click.option("--parity_report", default=False, type=click.BOOL,
+                     help="after training, run the full eval report and "
+                          "write parity_report.json with pass/fail vs "
+                          "--parity_target_whdr (docs/PARITY.md runbook)"),
+        click.option("--parity_target_whdr", default=-1.0, type=click.FLOAT,
+                     help="the paper's WHDR for this config; <0 = metrics "
+                          "only, no verdict"),
+        click.option("--parity_budget", default=0.005, type=click.FLOAT,
+                     help="allowed WHDR excess over the target (BASELINE.md "
+                          "north star: 0.5%)"),
         click.option("--config_json", default="",
                      help="JSON file with config overrides (applied before "
                           "CLI flags; reference ModelParameters"
@@ -365,6 +379,34 @@ def train(pack_cache="", run_name="", resume=False, **kw):
                 "ex_pred": "predicted depth",
             },
         )
+    if cfg.parity_report and len(val_ds):
+        # accuracy-parity runbook verdict (docs/PARITY.md): full
+        # test_data_eval-equivalent report + pass/fail vs the paper budget
+        report = evaluator.full_report(val_ds, limit=limit)
+        report["config"] = {
+            "model_name": cfg.model_name, "input_size": cfg.input_size,
+            "ranking_size": cfg.ranking_size, "dataset": cfg.dataset,
+            "ds_size": cfg.ds_size, "epochs": cfg.epochs,
+            "sampling_type": cfg.sampling_type,
+        }
+        if cfg.parity_target_whdr >= 0:
+            whdr = report["whdr_tau_0.03"]
+            report["parity"] = {
+                "target_whdr": cfg.parity_target_whdr,
+                "budget": cfg.parity_budget,
+                "pass": bool(whdr <= cfg.parity_target_whdr + cfg.parity_budget),
+            }
+        path = os.path.join(logger.dir, "parity_report.json")
+        with open(path, "w") as f:
+            json.dump(report, f, indent=2)
+        click.echo(json.dumps({"parity_report": path, **{
+            k: v for k, v in report.items() if not isinstance(v, dict)}}))
+        if report.get("parity") is not None:
+            click.echo(
+                f"PARITY {'PASS' if report['parity']['pass'] else 'FAIL'}: "
+                f"WHDR {report['whdr_tau_0.03']:.4f} vs target "
+                f"{cfg.parity_target_whdr:.4f} + {cfg.parity_budget:.3f}"
+            )
     logger.close()
 
 
@@ -717,14 +759,29 @@ def convert(weights, model_name, out):
 @_reference_options
 @click.option("--num_runs", default=8, type=click.INT)
 @click.option("--search", default="random",
-              type=click.Choice(["random", "grid", "tpe"]))
+              type=click.Choice(["random", "grid", "tpe", "wandb"]))
 @click.option("--target", default="test_error")
-def sweep(num_runs, search, target, **kw):
-    """Hyperparameter sweep (reference pldepth/hyperopt/sweep.py adapters)."""
-    from pldepth_tpu.sweep.sweep import run_sweep
+@click.option("--space", "space_name", default="base",
+              help="search space name (sweep/search_spaces.py)")
+@click.option("--sweep_id", default=None,
+              help="wandb backend: re-attach an agent to an existing sweep "
+                   "(reference hyperopt/restart_sweep.py)")
+def sweep(num_runs, search, target, space_name, sweep_id, **kw):
+    """Hyperparameter sweep (reference pldepth/hyperopt/sweep.py adapters).
 
+    --search wandb drives the runs through a wandb sweep server (bayes);
+    random/grid/tpe run fully locally with sweep_state.jsonl resume."""
     cfg = _make_config(kw)
-    best = run_sweep(cfg, num_runs=num_runs, search=search, target=target)
+    if search == "wandb":
+        from pldepth_tpu.sweep.sweep import run_wandb_sweep
+
+        best = run_wandb_sweep(cfg, num_runs=num_runs, target=target,
+                               space_name=space_name, sweep_id=sweep_id)
+    else:
+        from pldepth_tpu.sweep.sweep import run_sweep
+
+        best = run_sweep(cfg, num_runs=num_runs, search=search, target=target,
+                         space_name=space_name)
     click.echo(json.dumps(best, indent=2))
 
 

@@ -88,6 +88,11 @@ class ExperimentConfig:
     # true epoch permutation). Requires the split to fit alongside the
     # model/optimizer in HBM.
     data_resident: bool = False
+    # With data_resident: run this many train steps per jit dispatch
+    # (lax.scan chain, Trainer.resident_chain). Removes per-step dispatch
+    # latency — the host only syncs once per chunk. Preemption/SIGTERM
+    # granularity becomes one chunk. 1 = plain per-step dispatch.
+    resident_chain_steps: int = 1
 
     # --- schedule / optimizer ---
     schedule: str = "sgdr"  # sgdr | step | constant
@@ -145,6 +150,14 @@ class ExperimentConfig:
     use_mlflow: bool = False
     mlflow_tracking_uri: str = ""
     profile: bool = False
+    # Accuracy-parity report (docs/PARITY.md runbook): after training, run
+    # the full test_data_eval-equivalent report (ordinal error, WHDR(tau),
+    # NDCG@200) on the val split and emit parity_report.json with pass/fail
+    # against the paper budget: pass iff WHDR(0.03) <= target + budget.
+    # target < 0 skips the verdict (metrics only).
+    parity_report: bool = False
+    parity_target_whdr: float = -1.0  # the paper's WHDR for this config
+    parity_budget: float = 0.005  # BASELINE.md north star: within 0.5%
 
     # ------------------------------------------------------------------
     @property

@@ -211,3 +211,84 @@ def run_sweep(
     scored = [r for r in results if np.isfinite(r["metrics"].get(target, np.inf))]
     best = min(scored, key=lambda r: r["metrics"][target]) if scored else None
     return {"best": best, "num_runs": len(results)}
+
+
+# ---------------------------------------------------------------------------
+# wandb sweep backend (reference pldepth/hyperopt/sweep.py:12-46)
+# ---------------------------------------------------------------------------
+
+
+def space_to_wandb(space: Dict[str, Any], target: str) -> Dict[str, Any]:
+    """Translate a SEARCH_SPACES space into a wandb sweep config
+    (the bayes-over-parameters shape of hyperopt/hyperparams.py:21-116)."""
+    params: Dict[str, Any] = {}
+    for k, spec in space.items():
+        if "values" in spec:
+            params[k] = {"values": list(spec["values"])}
+        elif spec.get("log"):
+            params[k] = {
+                "distribution": "log_uniform_values",
+                "min": spec["min"], "max": spec["max"],
+            }
+        else:
+            params[k] = {
+                "distribution": "uniform",
+                "min": spec["min"], "max": spec["max"],
+            }
+    return {
+        "method": "bayes",
+        "metric": {"name": target, "goal": "minimize"},
+        "parameters": params,
+    }
+
+
+def run_wandb_sweep(
+    base_cfg: ExperimentConfig,
+    num_runs: int = 8,
+    target: str = "test_error",
+    space_name: str = "base",
+    sweep_id: Optional[str] = None,
+    project: str = "pldepth-tpu-sweep",
+    _wandb=None,
+) -> Dict[str, Any]:
+    """Drive the search through a wandb sweep server (reference workflow:
+    wandb.sweep + wandb.agent, hyperopt/sweep.py:12-46; re-attaching to an
+    existing ``sweep_id`` is restart_sweep.py:11-45).
+
+    Each agent call runs the same ``run_single`` as the local driver and
+    logs the metrics, so wandb's bayes optimizer steers the sampling.
+    ``_wandb`` injects the module for tests (record-replay with a fake);
+    default imports the real package.
+    """
+    wandb = _wandb
+    if wandb is None:
+        import wandb  # type: ignore  # noqa: F811 - gated optional dep
+
+    if sweep_id is None:
+        sweep_id = wandb.sweep(
+            space_to_wandb(SEARCH_SPACES[space_name], target), project=project
+        )
+        log.info("created wandb sweep %s", sweep_id)
+
+    results: list = []
+
+    def _one_run():
+        run = wandb.init()
+        overrides = {
+            k: v for k, v in dict(run.config).items()
+            if k in SEARCH_SPACES[space_name]
+        }
+        cfg = base_cfg.replace(**overrides)
+        try:
+            metrics = run_single(cfg, target)
+        except Exception as e:  # keep the agent alive on individual failures
+            log.exception("wandb sweep run failed: %s", e)
+            metrics = {target: float("inf"), "error": str(e)}
+        wandb.log({k: v for k, v in metrics.items() if k != "error"})
+        results.append({"overrides": overrides, "metrics": metrics})
+        run.finish()
+
+    wandb.agent(sweep_id, function=_one_run, count=num_runs, project=project)
+    scored = [r for r in results if np.isfinite(r["metrics"].get(target, np.inf))]
+    best = min(scored, key=lambda r: r["metrics"][target]) if scored else None
+    return {"best": best, "num_runs": len(results), "sweep_id": sweep_id}

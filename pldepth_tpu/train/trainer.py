@@ -95,6 +95,8 @@ class Trainer:
         self._train_step_fixed = None
         self._raw_train_step = None
         self._resident_step = None
+        self._raw_resident_step = None
+        self._resident_chains = {}  # chain length -> jitted scan
         self._eval_step = None
         self._jit_predict = {}  # fused flag -> jitted serving fn
         self._stop_requested = False
@@ -449,17 +451,63 @@ class Trainer:
             }
             return raw_step(state, batch)
 
+        self._raw_resident_step = resident_step
         repl = NamedSharding(self.mesh, P())
         store_sharding = {
             k: NamedSharding(self.mesh, s) for k, s in specs.items()
         }
         store_sharding["gt_scale"] = repl
+        self._resident_shardings = (repl, store_sharding)
         return jax.jit(
             resident_step,
             in_shardings=(repl, store_sharding),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
+
+    def resident_chain(self, n: int) -> Callable:
+        """``n`` resident steps in ONE dispatch: lax.scan over the resident
+        step body, metrics stacked per step (loss/lr/finite each shape (n,)).
+
+        The resident store makes this possible — no host data is consumed
+        per step, so an arbitrary number of steps can run device-side
+        without returning to Python. This removes the per-step dispatch
+        latency that separates the resident loop rate from the device step
+        rate (measured on the tunnel-attached chip: 329 -> ~398 img/s);
+        on production TPU VMs it also cuts the host out of the steady state
+        entirely. Semantically identical to ``n`` resident_step calls: the
+        draw/augment/sample RNG is a pure function of state.step, which the
+        scan advances exactly as the single-step path does (bit-compatible
+        resume is preserved across chain-size changes up to compiler
+        reassociation).
+        """
+        if n <= 1:
+            return self.resident_step
+        fn = self._resident_chains.get(n)
+        if fn is None:
+            if self._raw_resident_step is None:
+                _ = self.resident_step  # builds body + shardings
+            one = self._raw_resident_step
+
+            def chain(state: TrainState, arrays):
+                def body(s, _):
+                    s, m = one(s, arrays)
+                    return s, (m.loss, m.lr, m.finite)
+
+                state, (loss, lr, finite) = jax.lax.scan(
+                    body, state, None, length=n
+                )
+                return state, StepMetrics(loss=loss, lr=lr, finite=finite)
+
+            repl, store_sharding = self._resident_shardings
+            fn = jax.jit(
+                chain,
+                in_shardings=(repl, store_sharding),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+            self._resident_chains[n] = fn
+        return fn
 
     def _build_eval_step(self) -> Callable:
         model = self.model
@@ -658,7 +706,49 @@ class Trainer:
                 finites = []
                 last_lr = float("nan")
                 first = offset if epoch == start_epoch else 0
-                for step_i in range(first, self.steps_per_epoch):
+                chain_n = self.cfg.resident_chain_steps if resident else 1
+                if chain_n > 1:
+                    # chained dispatch: k steps per jit call (resident data
+                    # means no host feed, so whole chunks run device-side;
+                    # SIGTERM lands between chunks — preemption granularity
+                    # is chain_n steps, still checkpoint-exact)
+                    step_i = first
+                    while step_i < self.steps_per_epoch:
+                        k = min(chain_n, self.steps_per_epoch - step_i)
+                        state, m = self.resident_chain(k)(
+                            state, resident_store.arrays
+                        )
+                        mloss = np.atleast_1d(jax.device_get(m.loss))
+                        mlr = np.atleast_1d(jax.device_get(m.lr))
+                        losses.extend(float(x) for x in mloss)
+                        finites.extend(
+                            bool(x)
+                            for x in np.atleast_1d(jax.device_get(m.finite))
+                        )
+                        last_lr = float(mlr[-1])
+                        if self.cfg.log_every:
+                            for j in range(len(mloss)):
+                                if (step_i + j + 1) % self.cfg.log_every:
+                                    continue
+                                for cb in callbacks:
+                                    if hasattr(cb, "on_step_end"):
+                                        cb.on_step_end(
+                                            self,
+                                            epoch * self.steps_per_epoch
+                                            + step_i + j,
+                                            {"loss": float(mloss[j]),
+                                             "lr": float(mlr[j])},
+                                        )
+                        step_i += k
+                        if self._stop_requested:
+                            preempted = True
+                            break
+                    # falls through to the shared epoch-end block below
+                    # (losses/finites already hold host floats/bools there)
+                step_range = (
+                    () if chain_n > 1 else range(first, self.steps_per_epoch)
+                )
+                for step_i in step_range:
                     if resident:
                         state, metrics = self.resident_step(
                             state, resident_store.arrays

@@ -52,6 +52,26 @@ def test_train_then_resume_cli(tmp_path):
     assert 0 in steps and 1 in steps
 
 
+def test_train_parity_report(tmp_path):
+    """--parity_report writes parity_report.json with the full metric set
+    and a pass/fail verdict vs --parity_target_whdr (docs/PARITY.md
+    runbook, BASELINE.md 0.5% budget)."""
+    out = _invoke([
+        "train", "--dataset", "synthetic", "--ds_size", "20",
+        "--input_size", str(S), "--batch_size", "8", "--ranking_size", "3",
+        "--rankings_per_image", "8", "--compute_dtype", "float32",
+        "--initial_lr", "3e-4", "--output_dir", str(tmp_path),
+        "--run_name", "rp", "--epochs", "1",
+        "--parity_report", "true", "--parity_target_whdr", "0.99",
+    ])
+    report = json.loads((tmp_path / "rp" / "parity_report.json").read_text())
+    for key in ("test_error", "whdr_tau_0.03", "ndcg_200"):
+        assert key in report, report
+    assert report["parity"]["target_whdr"] == 0.99
+    assert report["parity"]["pass"] is True  # any model beats WHDR 0.995
+    assert "PARITY PASS" in out
+
+
 def test_resume_requires_run_name(tmp_path):
     from pldepth_tpu.cli import cli
 

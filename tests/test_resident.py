@@ -122,6 +122,45 @@ def test_resident_training_reduces_loss():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
 
 
+def test_resident_chain_matches_single_steps():
+    """resident_chain(n) == n resident_step calls: same final step count and
+    the same per-step losses (the scan advances state.step exactly like the
+    single-step path, so the draw/augment/sample RNG streams coincide)."""
+    ds = SyntheticDepthDataset(n=8, image_size=S, seed=0)
+    tr = _trainer(n_data=1)
+    store = build_resident_store(ds, tr.mesh)
+
+    s1 = tr.init_state()
+    single_losses = []
+    for _ in range(3):
+        s1, m = tr.resident_step(s1, store.arrays)
+        single_losses.append(float(jax.device_get(m.loss)))
+
+    s2 = tr.init_state()
+    s2, mc = tr.resident_chain(3)(s2, store.arrays)
+    chain_losses = [float(x) for x in jax.device_get(mc.loss)]
+    assert int(jax.device_get(s2.step)) == 3
+    assert mc.loss.shape == (3,)
+    # scan-compiled vs standalone-compiled step bodies reassociate fp32
+    # reductions differently (observed 2.9e-5 on step 3); semantics equal
+    np.testing.assert_allclose(chain_losses, single_losses, rtol=1e-4)
+    assert all(bool(x) for x in jax.device_get(mc.finite))
+
+
+def test_fit_resident_chain_mode():
+    """fit() with resident_chain_steps > 1 trains whole chunks per dispatch,
+    including a remainder chunk, and records per-step losses."""
+    ds = SyntheticDepthDataset(n=8, image_size=S, seed=0)
+    devs = jax.devices()[:1]
+    cfg = _cfg(1, 4).replace(resident_chain_steps=2)
+    tr = Trainer(cfg, steps_per_epoch=3, mesh=make_mesh(cfg.mesh, devs))
+    store = build_resident_store(ds, tr.mesh)
+    state = tr.init_state()
+    state, history = tr.fit(state, None, epochs=1, resident_store=store)
+    assert int(jax.device_get(state.step)) == 3  # chunk of 2 + remainder 1
+    assert len(history["loss"]) == 1 and np.isfinite(history["loss"][0])
+
+
 def test_fit_resident_mode():
     ds = SyntheticDepthDataset(n=8, image_size=S, seed=0)
     tr = _trainer(n_data=1, batch_size=4)
