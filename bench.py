@@ -106,6 +106,7 @@ def main() -> None:
         fused_tail=bool(int(os.environ.get("BENCH_FUSED_TAIL", "1"))),
         remat_encoder=bool(int(os.environ.get("BENCH_REMAT", "0"))),
         sampler_draw_method=os.environ.get("BENCH_DRAW", "auto"),
+        decoder_head_ch=int(os.environ.get("BENCH_HEAD_CH", "32")),
     )
     trainer = Trainer(cfg, steps_per_epoch=1)
     state = trainer.init_state()
@@ -122,11 +123,12 @@ def main() -> None:
         # before the fetched value exists; the RTT cancels in the difference.
         import jax.numpy as jnp
 
-        predict_fn = (
-            trainer.predict_fused
-            if os.environ.get("BENCH_FUSED_ENC") == "1"
-            else trainer.predict
-        )
+        if os.environ.get("BENCH_BN_FOLD") == "1":
+            predict_fn = trainer.predict_bnfold
+        elif os.environ.get("BENCH_FUSED_ENC") == "1":
+            predict_fn = trainer.predict_fused
+        else:
+            predict_fn = trainer.predict
 
         def chain(n):
             def f(s, x):

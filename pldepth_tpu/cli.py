@@ -84,6 +84,11 @@ def _reference_options(f):
                      help="collapse the final upsample+head conv into one "
                           "half-res phase conv (value-exact; +18% train "
                           "throughput at 448^2 — see docs/BENCH.md)"),
+        click.option("--decoder_head_ch", default=32, type=click.INT,
+                     help="width of the last two skip-concat decoder stages "
+                          "(ff_effnet). 32 = reference architecture; 128 "
+                          "fills the TPU lane dim but DEVIATES from the "
+                          "reference (measured verdict in docs/BENCH.md)"),
         click.option("--output_dir", default="runs"),
         click.option("--use_wandb", default=False, type=click.BOOL),
         click.option("--use_tensorboard", default=False, type=click.BOOL,
@@ -532,8 +537,13 @@ def active(rounds, split_num, sigma, pretrain_epochs, **kw):
 @click.option("--fused_encoder", default=False, type=click.BOOL,
               help="run eligible encoder blocks as fused Pallas kernels "
                    "(ff_effnet family)")
+@click.option("--bn_fold", default=True, type=click.BOOL,
+              help="fold batch-norms into biased convs for serving "
+                   "(models/bn_fold.py; exact to compute-dtype rounding; "
+                   "-10.4%% serving time @448^2, docs/BENCH.md). "
+                   "--fused_encoder takes precedence (it folds BN itself)")
 def predict(model_name, load_model_path, inputs, out_dir, input_size,
-            batch_size, save_png, fused_encoder):
+            batch_size, save_png, fused_encoder, bn_fold):
     """Batched depth-map inference (serving path): writes <name>_depth.npy
     (+ minmax-normalized png preview) per input image."""
     import glob as globmod
@@ -554,7 +564,11 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
     from pldepth_tpu.core.mesh import pad_to_batch, round_batch
 
     batch_size = round_batch(batch_size, trainer.mesh)
-    predict_fn = trainer.jit_predict(fused=fused_encoder)
+    # fused_encoder already folds inference BN inside its Pallas kernels,
+    # so it supersedes (not composes with) the XLA-graph bn_fold default
+    predict_fn = trainer.jit_predict(
+        fused=True if fused_encoder else ("bn_fold" if bn_fold else False)
+    )
 
     if os.path.isdir(inputs):
         files = sorted(
@@ -602,9 +616,12 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
 @click.option("--once", default=False, type=click.BOOL,
               help="process the current backlog and exit")
 @click.option("--fused_encoder", default=False, type=click.BOOL)
+@click.option("--bn_fold", default=True, type=click.BOOL,
+              help="serving default: BN folded into biased convs "
+                   "(models/bn_fold.py; checkpoint source only)")
 def serve(model_name, load_model_path, artifact, watch_dir, out_dir,
           input_size, batch_size, save_png, poll_interval, once,
-          fused_encoder):
+          fused_encoder, bn_fold):
     """Serving daemon: watch a directory, write depth maps for new images.
 
     Model source is either --load_model_path (data-parallel sharded forward
@@ -639,7 +656,9 @@ def serve(model_name, load_model_path, artifact, watch_dir, out_dir,
         trainer = Trainer(cfg, steps_per_epoch=1)
         state = load_weights_npz(load_model_path, trainer.init_state())
         batch_size = round_batch(batch_size, trainer.mesh)
-        predict_fn = trainer.jit_predict(fused=fused_encoder)
+        predict_fn = trainer.jit_predict(
+            fused=True if fused_encoder else ("bn_fold" if bn_fold else False)
+        )
         infer = lambda imgs: predict_fn(state, imgs)
         pad = lambda a: pad_to_batch(a, batch_size)
 
@@ -661,8 +680,11 @@ def serve(model_name, load_model_path, artifact, watch_dir, out_dir,
                    "(symbolic leading dim, any batch at call time)")
 @click.option("--platforms", default="tpu,cpu",
               help="comma-separated lowering targets")
+@click.option("--bn_fold", default=True, type=click.BOOL,
+              help="bake BN-folded weights into the artifact "
+                   "(models/bn_fold.py; -10.4%% serving time)")
 def export(model_name, load_model_path, out, input_size, batch_size,
-           platforms):
+           platforms, bn_fold):
     """Serialize the inference forward (weights baked in) to a portable
     StableHLO artifact via jax.export — serve without model code or
     checkpoints (pldepth_tpu/serve/export.py)."""
@@ -681,7 +703,8 @@ def export(model_name, load_model_path, out, input_size, batch_size,
                       mesh=make_mesh(devices=jax.devices()[:1]))
     state = load_weights_npz(load_model_path, trainer.init_state())
     export_predict(trainer, state, batch_size, out,
-                   platforms=tuple(p.strip() for p in platforms.split(",")))
+                   platforms=tuple(p.strip() for p in platforms.split(",")),
+                   bn_fold=bn_fold)
     click.echo(json.dumps({"out": out, "platforms": platforms,
                            "batch_size": batch_size,
                            "input_size": input_size}))

@@ -119,6 +119,12 @@ class ExperimentConfig:
     # (ops/fused_tail.py) — value-equal to compute-dtype rounding; saves the
     # full-res 32-channel tensor and the 1-channel-conv lane waste.
     fused_tail: bool = True
+    # Width of the last two skip-concat decoder stages (ff_effnet family).
+    # 32 = the reference decoder width (pl_hourglass.py:88-95). 128 fills
+    # the TPU lane dimension at those stages — DEVIATES from the reference
+    # architecture (more params/FLOPs, different trained function); measured
+    # verdict in docs/BENCH.md.
+    decoder_head_ch: int = 32
 
     # --- loss ---
     listmle_impl: str = "auto"  # auto | pallas | xla

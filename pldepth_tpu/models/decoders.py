@@ -70,6 +70,8 @@ class SkipConcatDecoder(nn.Module):
     head_ch: int = 32
     dtype: Any = jnp.bfloat16
     fused_tail: bool = True
+    # inference-only: BN pre-folded into biased convs (models/bn_fold.py)
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, top, taps, train: bool = False, pixels=None):
@@ -77,7 +79,9 @@ class SkipConcatDecoder(nn.Module):
             x = nn.Conv(
                 ch, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{idx}"
             )(x)
-            x = nn.relu(_bn(f"bn{idx}", train)(x).astype(self.dtype))
+            if not self.bn_fold:
+                x = _bn(f"bn{idx}", train)(x).astype(self.dtype)
+            x = nn.relu(x)
             return upsample2x_bilinear(x)
 
         x = conv_bn_relu_up(top, taps["expand_6"].shape[-1], 0)  # -> 1/16
@@ -91,7 +95,9 @@ class SkipConcatDecoder(nn.Module):
         x = nn.Conv(
             self.head_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv4"
         )(x)
-        x = nn.relu(_bn("bn4", train)(x).astype(self.dtype))
+        if not self.bn_fold:
+            x = _bn("bn4", train)(x).astype(self.dtype)
+        x = nn.relu(x)
         if pixels is None and self.fused_tail:
             # Fused tail: upsample+head collapsed into a half-res phase conv
             # (ops/fused_tail.py) — same parameters, same values (to compute-
@@ -122,25 +128,32 @@ class ResidualBottleneckPair(nn.Module):
 
     ch: int
     dtype: Any = jnp.bfloat16
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        fold = self.bn_fold
         for u in range(2):
             res = x
             y = nn.Conv(
-                self.ch // 4, (1, 1), use_bias=False, dtype=self.dtype,
+                self.ch // 4, (1, 1), use_bias=fold, dtype=self.dtype,
                 name=f"u{u}_conv0",
             )(x)
-            y = nn.relu(_bn(f"u{u}_bn0", train)(y).astype(self.dtype))
+            if not fold:
+                y = _bn(f"u{u}_bn0", train)(y).astype(self.dtype)
+            y = nn.relu(y)
             y = nn.Conv(
-                self.ch // 4, (3, 3), padding="SAME", use_bias=False,
+                self.ch // 4, (3, 3), padding="SAME", use_bias=fold,
                 dtype=self.dtype, name=f"u{u}_conv1",
             )(y)
-            y = nn.relu(_bn(f"u{u}_bn1", train)(y).astype(self.dtype))
+            if not fold:
+                y = _bn(f"u{u}_bn1", train)(y).astype(self.dtype)
+            y = nn.relu(y)
             y = nn.Conv(
-                self.ch, (1, 1), use_bias=False, dtype=self.dtype, name=f"u{u}_conv2"
+                self.ch, (1, 1), use_bias=fold, dtype=self.dtype, name=f"u{u}_conv2"
             )(y)
-            y = _bn(f"u{u}_bn2", train)(y).astype(self.dtype)
+            if not fold:
+                y = _bn(f"u{u}_bn2", train)(y).astype(self.dtype)
             x = nn.relu(y + res)
         return x
 
@@ -151,26 +164,30 @@ class FeatureFusion(nn.Module):
 
     ch: int
     dtype: Any = jnp.bfloat16
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, lateral, up, train: bool):
+        fold = self.bn_fold
         left = nn.Conv(
-            self.ch, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype,
+            self.ch, (3, 3), padding="SAME", use_bias=fold, dtype=self.dtype,
             name="lateral_conv",
         )(lateral)
-        left = _bn("lateral_bn", train)(left).astype(self.dtype)
-        left = ResidualBottleneckPair(self.ch, dtype=self.dtype, name="lateral_block")(
-            left, train
-        )
+        if not fold:
+            left = _bn("lateral_bn", train)(left).astype(self.dtype)
+        left = ResidualBottleneckPair(
+            self.ch, dtype=self.dtype, bn_fold=fold, name="lateral_block"
+        )(left, train)
         top = nn.Conv(
-            self.ch, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype,
+            self.ch, (3, 3), padding="SAME", use_bias=fold, dtype=self.dtype,
             name="up_conv",
         )(up)
-        top = _bn("up_bn", train)(top).astype(self.dtype)
+        if not fold:
+            top = _bn("up_bn", train)(top).astype(self.dtype)
         x = left + top
-        x = ResidualBottleneckPair(self.ch, dtype=self.dtype, name="fuse_block")(
-            x, train
-        )
+        x = ResidualBottleneckPair(
+            self.ch, dtype=self.dtype, bn_fold=fold, name="fuse_block"
+        )(x, train)
         return upsample2x_bilinear(x)
 
 
@@ -182,11 +199,14 @@ class AdaptiveOutput(nn.Module):
     """
 
     dtype: Any = jnp.bfloat16
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, pixels=None):
         x = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv0")(x)
-        x = nn.relu(_bn("bn0", train)(x).astype(self.dtype))
+        if not self.bn_fold:
+            x = _bn("bn0", train)(x).astype(self.dtype)
+        x = nn.relu(x)
         x = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x)
         out = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv2")
         if pixels is None:
@@ -202,19 +222,18 @@ class ReDWebDecoder(nn.Module):
 
     fusion_ch: Sequence[int] = (256, 128, 64)
     dtype: Any = jnp.bfloat16
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, c5, taps, train: bool = False, pixels=None):
+        if self.bn_fold and train:
+            raise ValueError("bn_fold is an inference-only mode (train=False)")
         x = upsample2x_bilinear(c5)  # 1/32 -> 1/16
-        x = FeatureFusion(self.fusion_ch[0], dtype=self.dtype, name="fusion0")(
-            taps["c4_mid"], x, train
-        )  # -> 1/8
-        x = FeatureFusion(self.fusion_ch[1], dtype=self.dtype, name="fusion1")(
-            taps["c3"], x, train
-        )  # -> 1/4
-        x = FeatureFusion(self.fusion_ch[2], dtype=self.dtype, name="fusion2")(
-            taps["c2"], x, train
-        )  # -> 1/2
-        return AdaptiveOutput(dtype=self.dtype, name="output")(
-            x, train, pixels
-        )  # -> 1/1
+        for i, name in enumerate(("fusion0", "fusion1", "fusion2")):
+            x = FeatureFusion(
+                self.fusion_ch[i], dtype=self.dtype, bn_fold=self.bn_fold,
+                name=name,
+            )(taps[("c4_mid", "c3", "c2")[i]], x, train)  # 1/16->1/8->1/4->1/2
+        return AdaptiveOutput(
+            dtype=self.dtype, bn_fold=self.bn_fold, name="output"
+        )(x, train, pixels)  # -> 1/1

@@ -105,35 +105,41 @@ class MBConv(nn.Module):
     se_ratio: float = 0.25
     drop_rate: float = 0.0
     dtype: Any = jnp.bfloat16
+    # inference-only: BN pre-folded into biased convs (models/bn_fold.py)
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         inputs = x
         expand_act = None
+        fold = self.bn_fold
         if self.expand != 1:
             x = nn.Conv(
-                self.in_ch * self.expand, (1, 1), use_bias=False,
+                self.in_ch * self.expand, (1, 1), use_bias=fold,
                 dtype=self.dtype, name="expand_conv",
             )(x)
-            x = _bn("expand_bn", train)(x).astype(self.dtype)
+            if not fold:
+                x = _bn("expand_bn", train)(x).astype(self.dtype)
             x = nn.swish(x)
             expand_act = x  # "blockXa_expand_activation" tap point
         k = self.kernel
         x = nn.Conv(
             x.shape[-1], (k, k), strides=self.stride, padding="SAME",
-            feature_group_count=x.shape[-1], use_bias=False,
+            feature_group_count=x.shape[-1], use_bias=fold,
             dtype=self.dtype, name="dw_conv",
         )(x)
-        x = _bn("dw_bn", train)(x).astype(self.dtype)
+        if not fold:
+            x = _bn("dw_bn", train)(x).astype(self.dtype)
         x = nn.swish(x)
         if self.se_ratio > 0:
             x = SqueezeExcite(
                 max(1, int(self.in_ch * self.se_ratio)), dtype=self.dtype, name="se"
             )(x)
         x = nn.Conv(
-            self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="project_conv"
+            self.out_ch, (1, 1), use_bias=fold, dtype=self.dtype, name="project_conv"
         )(x)
-        x = _bn("project_bn", train)(x).astype(self.dtype)
+        if not fold:
+            x = _bn("project_bn", train)(x).astype(self.dtype)
         if self.stride == 1 and self.in_ch == self.out_ch:
             if self.drop_rate > 0 and train:
                 keep = 1.0 - self.drop_rate
@@ -153,17 +159,22 @@ class EfficientNetEncoder(nn.Module):
     variant: str = "b0"
     drop_connect_rate: float = 0.2
     dtype: Any = jnp.bfloat16
+    # inference-only: BN pre-folded into biased convs (models/bn_fold.py)
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.bn_fold and train:
+            raise ValueError("bn_fold is an inference-only mode (train=False)")
         width, depth = VARIANTS[self.variant]
         x = x.astype(self.dtype)
 
         x = nn.Conv(
             round_filters(32, width), (3, 3), strides=2, padding="SAME",
-            use_bias=False, dtype=self.dtype, name="stem_conv",
+            use_bias=self.bn_fold, dtype=self.dtype, name="stem_conv",
         )(x)
-        x = _bn("stem_bn", train)(x).astype(self.dtype)
+        if not self.bn_fold:
+            x = _bn("stem_bn", train)(x).astype(self.dtype)
         x = nn.swish(x)
 
         taps: Dict[str, jax.Array] = {}
@@ -185,6 +196,7 @@ class EfficientNetEncoder(nn.Module):
                     stride=stride if i == 0 else 1,
                     drop_rate=self.drop_connect_rate * block_idx / total_blocks,
                     dtype=self.dtype,
+                    bn_fold=self.bn_fold,
                     name=f"stage{stage_num}_block{i}",
                 )
                 x, expand_act = blk(x, train)
@@ -194,9 +206,10 @@ class EfficientNetEncoder(nn.Module):
                 block_idx += 1
 
         x = nn.Conv(
-            round_filters(1280, width), (1, 1), use_bias=False,
+            round_filters(1280, width), (1, 1), use_bias=self.bn_fold,
             dtype=self.dtype, name="top_conv",
         )(x)
-        x = _bn("top_bn", train)(x).astype(self.dtype)
+        if not self.bn_fold:
+            x = _bn("top_bn", train)(x).astype(self.dtype)
         x = nn.swish(x)
         return x, taps

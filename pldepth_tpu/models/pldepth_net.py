@@ -47,6 +47,11 @@ class EffNetFullyFledged(nn.Module):
     # stochastic-depth rate (keras EfficientNet drop_connect_rate default);
     # 0.0 makes train-mode forwards deterministic (cross-framework parity)
     drop_connect_rate: float = 0.2
+    # inference-only mode expecting models/bn_fold.py fold_variables output
+    bn_fold: bool = False
+    # width of the decoder's last two stages; 32 = reference (see
+    # core/config.py decoder_head_ch)
+    head_ch: int = 32
 
     @nn.compact
     def __call__(self, x, train: bool = False, pixels=None):
@@ -59,10 +64,12 @@ class EffNetFullyFledged(nn.Module):
             variant=self.variant,
             dtype=self.dtype,
             drop_connect_rate=self.drop_connect_rate,
+            bn_fold=self.bn_fold,
             name="encoder",
         )(x, train)
         return SkipConcatDecoder(
-            dtype=self.dtype, fused_tail=self.fused_tail, name="decoder"
+            dtype=self.dtype, fused_tail=self.fused_tail,
+            bn_fold=self.bn_fold, head_ch=self.head_ch, name="decoder",
         )(top, taps, train, pixels)
 
 
@@ -72,6 +79,7 @@ class ReDWebFullyFledged(nn.Module):
     dtype: Any = jnp.bfloat16
     asc_depth_order: bool = False
     remat: bool = False
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, pixels=None):
@@ -80,8 +88,12 @@ class ReDWebFullyFledged(nn.Module):
             if self.remat
             else ResNet50Encoder
         )
-        c5, taps = enc_cls(dtype=self.dtype, name="encoder")(x, train)
-        return ReDWebDecoder(dtype=self.dtype, name="decoder")(c5, taps, train, pixels)
+        c5, taps = enc_cls(dtype=self.dtype, bn_fold=self.bn_fold, name="encoder")(
+            x, train
+        )
+        return ReDWebDecoder(dtype=self.dtype, bn_fold=self.bn_fold, name="decoder")(
+            c5, taps, train, pixels
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,26 +113,33 @@ class PLDepthModel:
 
 
 MODEL_REGISTRY: Dict[str, Callable[..., PLDepthModel]] = {
-    "ff_effnet": lambda dtype=jnp.bfloat16, remat=False, fused_tail=True: PLDepthModel(
+    "ff_effnet": lambda dtype=jnp.bfloat16, remat=False, fused_tail=True,
+    bn_fold=False, head_ch=32: PLDepthModel(
         "ff_effnet",
         EffNetFullyFledged(
-            variant="b0", dtype=dtype, remat=remat, fused_tail=fused_tail
+            variant="b0", dtype=dtype, remat=remat, fused_tail=fused_tail,
+            bn_fold=bn_fold, head_ch=head_ch,
         ),
         "effnet",
     ),
-    # fused_tail is EfficientNet-decoder-only; accepted and ignored here so
-    # the registry call signature stays uniform
-    "ff_redweb": lambda dtype=jnp.bfloat16, remat=False, fused_tail=True: PLDepthModel(
-        "ff_redweb", ReDWebFullyFledged(dtype=dtype, remat=remat), "caffe"
+    # fused_tail / head_ch are EfficientNet-decoder-only; accepted and
+    # ignored here so the registry call signature stays uniform
+    "ff_redweb": lambda dtype=jnp.bfloat16, remat=False, fused_tail=True,
+    bn_fold=False, head_ch=32: PLDepthModel(
+        "ff_redweb",
+        ReDWebFullyFledged(dtype=dtype, remat=remat, bn_fold=bn_fold),
+        "caffe",
     ),
 }
 for _v in VARIANTS:
     if _v != "b0":
         MODEL_REGISTRY[f"ff_effnet_{_v}"] = (
-            lambda dtype=jnp.bfloat16, remat=False, fused_tail=True, _v=_v: PLDepthModel(
+            lambda dtype=jnp.bfloat16, remat=False, fused_tail=True,
+            bn_fold=False, head_ch=32, _v=_v: PLDepthModel(
                 f"ff_effnet_{_v}",
                 EffNetFullyFledged(
-                    variant=_v, dtype=dtype, remat=remat, fused_tail=fused_tail
+                    variant=_v, dtype=dtype, remat=remat, fused_tail=fused_tail,
+                    bn_fold=bn_fold, head_ch=head_ch,
                 ),
                 "effnet",
             )
@@ -138,12 +157,13 @@ def get_model_type_by_name(model_name: str) -> str:
 
 def get_pl_depth_net(
     model_name: str, compute_dtype: str = "bfloat16", remat: bool = False,
-    fused_tail: bool = True,
+    fused_tail: bool = True, bn_fold: bool = False, head_ch: int = 32,
 ) -> PLDepthModel:
     get_model_type_by_name(model_name)
     dtype = jnp.dtype(compute_dtype)
     return MODEL_REGISTRY[model_name](
-        dtype=dtype, remat=remat, fused_tail=fused_tail
+        dtype=dtype, remat=remat, fused_tail=fused_tail, bn_fold=bn_fold,
+        head_ch=head_ch,
     )
 
 

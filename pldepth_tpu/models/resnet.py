@@ -38,30 +38,38 @@ class Bottleneck(nn.Module):
     stride: int = 1
     projection: bool = False
     dtype: Any = jnp.bfloat16
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        fold = self.bn_fold
         shortcut = x
         if self.projection:
             shortcut = nn.Conv(
                 4 * self.filters, (1, 1), strides=self.stride, use_bias=True,
                 dtype=self.dtype, name="proj_conv",
             )(x)
-            shortcut = _bn("proj_bn", train)(shortcut).astype(self.dtype)
+            if not fold:
+                shortcut = _bn("proj_bn", train)(shortcut).astype(self.dtype)
         y = nn.Conv(
             self.filters, (1, 1), strides=self.stride, use_bias=True,
             dtype=self.dtype, name="conv1",
         )(x)
-        y = nn.relu(_bn("bn1", train)(y).astype(self.dtype))
+        if not fold:
+            y = _bn("bn1", train)(y).astype(self.dtype)
+        y = nn.relu(y)
         y = nn.Conv(
             self.filters, (3, 3), padding="SAME", use_bias=True,
             dtype=self.dtype, name="conv2",
         )(y)
-        y = nn.relu(_bn("bn2", train)(y).astype(self.dtype))
+        if not fold:
+            y = _bn("bn2", train)(y).astype(self.dtype)
+        y = nn.relu(y)
         y = nn.Conv(
             4 * self.filters, (1, 1), use_bias=True, dtype=self.dtype, name="conv3"
         )(y)
-        y = _bn("bn3", train)(y).astype(self.dtype)
+        if not fold:
+            y = _bn("bn3", train)(y).astype(self.dtype)
         return nn.relu(y + shortcut)
 
 
@@ -73,15 +81,20 @@ class ResNet50Encoder(nn.Module):
     # block index (0-based, per stage) after which the 1/16 tap is taken;
     # reference taps conv4_block3_out => index 2 of stage 4.
     c4_tap_block: int = 2
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.bn_fold and train:
+            raise ValueError("bn_fold is an inference-only mode (train=False)")
         x = x.astype(self.dtype)
         x = nn.Conv(
             64, (7, 7), strides=2, padding=[(3, 3), (3, 3)], use_bias=True,
             dtype=self.dtype, name="stem_conv",
         )(x)
-        x = nn.relu(_bn("stem_bn", train)(x).astype(self.dtype))
+        if not self.bn_fold:
+            x = _bn("stem_bn", train)(x).astype(self.dtype)
+        x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         taps: Dict[str, jax.Array] = {}
@@ -94,6 +107,7 @@ class ResNet50Encoder(nn.Module):
                     stride=2 if (i == 0 and stage > 0) else 1,
                     projection=(i == 0),
                     dtype=self.dtype,
+                    bn_fold=self.bn_fold,
                     name=f"stage{stage + 2}_block{i}",
                 )(x, train)
                 if stage == 2 and i == self.c4_tap_block:

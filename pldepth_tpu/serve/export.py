@@ -38,6 +38,7 @@ def export_predict(
     batch_size: int,
     path: str,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    bn_fold: bool = False,
 ) -> str:
     """Serialize ``trainer.predict`` with ``state`` baked in.
 
@@ -55,11 +56,16 @@ def export_predict(
     serving runtime compiling per concrete shape it encounters. The
     depth forward is shape-safe under a symbolic batch (convs, inference
     BN and the SE global pool are all per-image).
+
+    ``bn_fold`` bakes BN-folded weights into the artifact
+    (models/bn_fold.py; -10.4% serving time @448², docs/BENCH.md) —
+    the CLI default; off here so library callers opt in explicitly.
     """
     size = trainer.cfg.input_size
+    predict = trainer.predict_bnfold if bn_fold else trainer.predict
 
     def fn(images):
-        return trainer.predict(state, images)
+        return predict(state, images)
 
     if batch_size and batch_size > 0:
         bdim: object = batch_size
@@ -77,6 +83,7 @@ def export_predict(
         "batch_size": batch_size if batch_size and batch_size > 0 else None,
         "platforms": list(exp.platforms),
         "input_range": "[0,1]",  # float32; divide raw uint8 pixels by 255
+        "bn_fold": bool(bn_fold),
     }
     meta_b = json.dumps(meta).encode()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

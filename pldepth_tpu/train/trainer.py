@@ -85,7 +85,7 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         self.model = get_pl_depth_net(
             cfg.model_name, cfg.compute_dtype, remat=cfg.remat_encoder,
-            fused_tail=cfg.fused_tail,
+            fused_tail=cfg.fused_tail, head_ch=cfg.decoder_head_ch,
         )
         self.sampler_name = sampler_name_for_type(cfg.sampling_type)
         get_sampler(self.sampler_name)
@@ -600,7 +600,24 @@ class Trainer:
         )
         return pred[..., 0] if pred.ndim == 4 else pred
 
-    def jit_predict(self, fused: bool = False) -> Callable:
+    def predict_bnfold(self, state: TrainState, images: jax.Array) -> jax.Array:
+        """predict() with batch-norms folded into biased convs
+        (models/bn_fold.py). The fold runs inside the jit — per-channel math
+        over ~4M weight elements, negligible next to the forward — so the
+        serving graph itself loses every BN op. Matches predict() to
+        compute-dtype rounding (exact in f32, tests/test_bn_fold.py)."""
+        from pldepth_tpu.models.bn_fold import fold_variables
+
+        folded_module = self.model.module.clone(bn_fold=True)
+        x = normalize_images(jnp.asarray(images, jnp.float32), self.model.preprocess)
+        folded = fold_variables(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            self.model.name,
+        )
+        pred = folded_module.apply(folded, x, False)
+        return pred[..., 0] if pred.ndim == 4 else pred
+
+    def jit_predict(self, fused=False) -> Callable:
         """Data-parallel jitted serving fn: state replicated, the image
         batch sharded over the mesh data axis, each device running the
         forward on its local shard. Inference is per-image (BN uses running
@@ -617,7 +634,10 @@ class Trainer:
         """
         if fused in self._jit_predict:
             return self._jit_predict[fused]
-        fn = self.predict_fused if fused else self.predict
+        if fused == "bn_fold":
+            fn = self.predict_bnfold
+        else:
+            fn = self.predict_fused if fused else self.predict
         d = self.mesh.axis_names[0]
         if self.mesh.shape[d] <= 1:
             jitted = jax.jit(fn)
