@@ -39,11 +39,14 @@ log = logging.getLogger(__name__)
 def _reference_options(f):
     """The canonical reference flag set (pldepth/PLDepth.py:28-46)."""
     opts = [
+        # NOTE: keep in sync with models/pldepth_net.py MODEL_REGISTRY —
+        # listed statically so `--help` doesn't import jax/flax. ff_smoke is
+        # the CI/bring-up model (models/efficientnet.py VARIANTS["smoke"]).
         click.option("--model_name", default="ff_effnet", help="Backbone model",
                      type=click.Choice(
                          ["ff_redweb", "ff_effnet", "ff_effnet_b1", "ff_effnet_b2",
                           "ff_effnet_b3", "ff_effnet_b4", "ff_effnet_b5",
-                          "ff_effnet_b6", "ff_effnet_b7"],
+                          "ff_effnet_b6", "ff_effnet_b7", "ff_smoke"],
                          case_sensitive=False)),
         click.option("--epochs", default=50),
         click.option("--batch_size", default=4),

@@ -37,6 +37,11 @@ _STAGE_DEFS = (
 
 # width_coefficient, depth_coefficient (resolution is caller-chosen)
 VARIANTS: Dict[str, Tuple[float, float]] = {
+    # "smoke" is NOT a reference variant: a 7-block, 8-80-channel scaling of
+    # the same topology (every stage, tap and decoder wire intact) whose
+    # train step compiles in seconds — for CI / bring-up / trainer-mechanics
+    # tests where the B0 compile (minutes on a small host) buys no coverage.
+    "smoke": (0.25, 0.25),
     "b0": (1.0, 1.0),
     "b1": (1.0, 1.1),
     "b2": (1.1, 1.2),

@@ -122,6 +122,18 @@ MODEL_REGISTRY: Dict[str, Callable[..., PLDepthModel]] = {
         ),
         "effnet",
     ),
+    # CI/bring-up model (models/efficientnet.py VARIANTS["smoke"]): full
+    # topology, ~2% of B0's step FLOPs, compiles in seconds. Not a
+    # reference model — for smoke tests and trainer-mechanics CI.
+    "ff_smoke": lambda dtype=jnp.bfloat16, remat=False, fused_tail=True,
+    bn_fold=False, head_ch=32: PLDepthModel(
+        "ff_smoke",
+        EffNetFullyFledged(
+            variant="smoke", dtype=dtype, remat=remat, fused_tail=fused_tail,
+            bn_fold=bn_fold, head_ch=head_ch,
+        ),
+        "effnet",
+    ),
     # fused_tail / head_ch are EfficientNet-decoder-only; accepted and
     # ignored here so the registry call signature stays uniform
     "ff_redweb": lambda dtype=jnp.bfloat16, remat=False, fused_tail=True,
@@ -132,7 +144,8 @@ MODEL_REGISTRY: Dict[str, Callable[..., PLDepthModel]] = {
     ),
 }
 for _v in VARIANTS:
-    if _v != "b0":
+    # b0 is registered as plain "ff_effnet"; "smoke" as "ff_smoke" above
+    if _v not in ("b0", "smoke"):
         MODEL_REGISTRY[f"ff_effnet_{_v}"] = (
             lambda dtype=jnp.bfloat16, remat=False, fused_tail=True,
             bn_fold=False, head_ch=32, _v=_v: PLDepthModel(

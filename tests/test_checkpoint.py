@@ -20,8 +20,9 @@ S = 64
 
 @pytest.fixture(scope="module")
 def trained():
+    # ff_smoke: checkpoint save/restore mechanics are model-independent
     cfg = ExperimentConfig(
-        model_name="ff_effnet", input_size=S, batch_size=8, ranking_size=3,
+        model_name="ff_smoke", input_size=S, batch_size=8, ranking_size=3,
         rankings_per_image=8, sampling_type=1, freeze_encoder=False,
         compute_dtype="float32", listmle_impl="xla", initial_lr=3e-4,
     )

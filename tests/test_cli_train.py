@@ -28,7 +28,7 @@ def _invoke(args):
 
 def test_train_then_resume_cli(tmp_path):
     common = [
-        "train", "--dataset", "synthetic", "--ds_size", "20",
+        "train", "--model_name", "ff_smoke", "--dataset", "synthetic", "--ds_size", "20",
         "--input_size", str(S), "--batch_size", "8", "--ranking_size", "3",
         "--rankings_per_image", "8", "--compute_dtype", "float32",
         "--initial_lr", "3e-4", "--output_dir", str(tmp_path),
@@ -57,7 +57,7 @@ def test_train_parity_report(tmp_path):
     and a pass/fail verdict vs --parity_target_whdr (docs/PARITY.md
     runbook, BASELINE.md 0.5% budget)."""
     out = _invoke([
-        "train", "--dataset", "synthetic", "--ds_size", "20",
+        "train", "--model_name", "ff_smoke", "--dataset", "synthetic", "--ds_size", "20",
         "--input_size", str(S), "--batch_size", "8", "--ranking_size", "3",
         "--rankings_per_image", "8", "--compute_dtype", "float32",
         "--initial_lr", "3e-4", "--output_dir", str(tmp_path),
@@ -78,7 +78,7 @@ def test_resume_requires_run_name(tmp_path):
     runner = CliRunner()
     res = runner.invoke(
         cli,
-        ["train", "--dataset", "synthetic", "--ds_size", "20",
+        ["train", "--model_name", "ff_smoke", "--dataset", "synthetic", "--ds_size", "20",
          "--resume", "true", "--output_dir", str(tmp_path)],
     )
     assert res.exit_code != 0
@@ -95,3 +95,14 @@ def test_convert_command_registered():
     assert res.exit_code == 0
     for flag in ("--weights", "--model_name", "--out"):
         assert flag in res.output
+
+
+def test_model_name_choices_match_registry():
+    """The static --model_name Choice list (kept import-light in cli.py)
+    must not drift from the model registry."""
+    from pldepth_tpu.cli import cli
+    from pldepth_tpu.models.pldepth_net import MODEL_REGISTRY
+
+    param = next(p for p in cli.commands["train"].params
+                 if p.name == "model_name")
+    assert set(param.type.choices) == set(MODEL_REGISTRY)

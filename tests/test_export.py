@@ -12,7 +12,7 @@ from pldepth_tpu.train import Trainer
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = ExperimentConfig(model_name="ff_effnet", input_size=64, batch_size=2)
+    cfg = ExperimentConfig(model_name="ff_smoke", input_size=64, batch_size=2)
     tr = Trainer(cfg, steps_per_epoch=1, mesh=make_mesh(devices=jax.devices()[:1]))
     state = tr.init_state()
     # the artifact contract is [0,1]-ranged float images (meta.input_range)
@@ -27,7 +27,7 @@ def test_export_roundtrip_matches_predict(setup, tmp_path):
     path = str(tmp_path / "model.plx")
     export_predict(tr, state, batch_size=2, path=path, platforms=("cpu",))
     call, meta = load_exported(path)
-    assert meta["model_name"] == "ff_effnet"
+    assert meta["model_name"] == "ff_smoke"
     assert meta["input_size"] == 64
     assert meta["input_range"] == "[0,1]"
     a = np.asarray(call(imgs), np.float32)
@@ -79,7 +79,7 @@ def test_cli_export(setup, tmp_path):
     out = str(tmp_path / "m.plx")
     res = CliRunner().invoke(
         cli,
-        ["export", "--model_name", "ff_effnet", "--input_size", "64",
+        ["export", "--model_name", "ff_smoke", "--input_size", "64",
          "--batch_size", "2", "--platforms", "cpu",
          "--load_model_path", wpath, "--out", out],
         catch_exceptions=False,

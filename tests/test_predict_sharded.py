@@ -11,7 +11,7 @@ from pldepth_tpu.train import Trainer
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = ExperimentConfig(model_name="ff_effnet", input_size=64, batch_size=8)
+    cfg = ExperimentConfig(model_name="ff_smoke", input_size=64, batch_size=8)
     tr8 = Trainer(cfg, steps_per_epoch=1)  # default mesh: all 8 devices
     state = tr8.init_state()
     imgs = np.asarray(
@@ -66,7 +66,7 @@ def test_cli_predict_rounds_batch_to_mesh(setup, tmp_path):
     out_dir = tmp_path / "out"
     res = CliRunner().invoke(
         cli,
-        ["predict", "--model_name", "ff_effnet", "--input_size", "64",
+        ["predict", "--model_name", "ff_smoke", "--input_size", "64",
          "--batch_size", "5", "--save_png", "false",
          "--load_model_path", wpath, "--inputs", str(in_dir),
          "--out_dir", str(out_dir)],
@@ -93,7 +93,7 @@ def test_cli_eval_device_metrics(setup, tmp_path):
     save_weights_npz(wpath, state)
     res = CliRunner().invoke(
         cli,
-        ["eval", "--model_name", "ff_effnet", "--input_size", "64",
+        ["eval", "--model_name", "ff_smoke", "--input_size", "64",
          "--dataset", "synthetic", "--limit", "8",
          "--device_metrics", "true", "--load_model_path", wpath],
         catch_exceptions=False,

@@ -16,8 +16,8 @@ S = 64
 
 
 def test_remat_model_matches_plain():
-    plain = get_pl_depth_net("ff_effnet", compute_dtype="float32", remat=False)
-    remat = get_pl_depth_net("ff_effnet", compute_dtype="float32", remat=True)
+    plain = get_pl_depth_net("ff_smoke", compute_dtype="float32", remat=False)
+    remat = get_pl_depth_net("ff_smoke", compute_dtype="float32", remat=True)
     v = plain.init_variables(jax.random.key(0), (S, S, 3))
     v2 = remat.init_variables(jax.random.key(0), (S, S, 3))
     # same parameter structure and values (remat must not rename/reinit)
@@ -49,7 +49,7 @@ def test_remat_model_matches_plain():
 
 def test_grad_accum_updates_every_k_steps():
     cfg = ExperimentConfig(
-        model_name="ff_effnet", input_size=S, batch_size=8, ranking_size=3,
+        model_name="ff_smoke", input_size=S, batch_size=8, ranking_size=3,
         rankings_per_image=8, sampling_type=1, freeze_encoder=False,
         compute_dtype="float32", listmle_impl="xla", initial_lr=1e-3,
         grad_accum=2,
@@ -81,7 +81,7 @@ def test_grad_accum_schedule_runs_on_microstep_clock():
     from pldepth_tpu.core.mesh import make_mesh
 
     cfg = ExperimentConfig(
-        model_name="ff_effnet", input_size=S, batch_size=8, ranking_size=3,
+        model_name="ff_smoke", input_size=S, batch_size=8, ranking_size=3,
         rankings_per_image=8, sampling_type=1, compute_dtype="float32",
         listmle_impl="xla", initial_lr=1e-3, grad_accum=4, epochs=2,
     )

@@ -23,8 +23,11 @@ S = 64
 
 
 def _cfg(n_data=1, batch_size=4):
+    # ff_smoke: the resident draw/decode/step mechanics under test are
+    # model-independent; the flagship-model resident path is exercised by
+    # __graft_entry__.dryrun_multichip and bench.py on the real chip
     return ExperimentConfig(
-        model_name="ff_effnet", input_size=S, batch_size=batch_size,
+        model_name="ff_smoke", input_size=S, batch_size=batch_size,
         ranking_size=3, rankings_per_image=8, sampling_type=1,
         freeze_encoder=False, compute_dtype="float32", listmle_impl="xla",
         initial_lr=3e-4, augmentation=True,
@@ -38,9 +41,19 @@ def _trainer(n_data=1, batch_size=4):
     return Trainer(cfg, steps_per_epoch=1, mesh=make_mesh(cfg.mesh, devs))
 
 
-def test_store_packing_contract():
-    ds = SyntheticDepthDataset(n=10, image_size=S, seed=0)
+@pytest.fixture(scope="module")
+def shared():
+    """One 1-device trainer + 8-sample store + initial state, shared by
+    every mechanics test below (each compile here costs tens of seconds)."""
+    ds = SyntheticDepthDataset(n=8, image_size=S, seed=0)
     tr = _trainer(n_data=1)
+    store = build_resident_store(ds, tr.mesh)
+    return ds, tr, store
+
+
+def test_store_packing_contract(shared):
+    _, tr, _ = shared
+    ds = SyntheticDepthDataset(n=10, image_size=S, seed=0)
     store = build_resident_store(ds, tr.mesh)
     assert store.n == 10
     assert store.arrays["image"].shape == (10, S, S, 3)
@@ -72,10 +85,8 @@ def test_store_truncates_for_even_sharding():
     assert shards == {(1, S, S, 3)}, shards
 
 
-def test_resident_step_runs_and_is_deterministic():
-    ds = SyntheticDepthDataset(n=8, image_size=S, seed=0)
-    tr = _trainer(n_data=1)
-    store = build_resident_store(ds, tr.mesh)
+def test_resident_step_runs_and_is_deterministic(shared):
+    _, tr, store = shared
 
     s1 = tr.init_state()
     s1, m1 = tr.resident_step(s1, store.arrays)
@@ -108,12 +119,10 @@ def test_resident_dp8_matches_replicated_math():
 
 
 @pytest.mark.slow
-def test_resident_training_reduces_loss():
+def test_resident_training_reduces_loss(shared):
     """A short resident-mode fit must actually train (loss decreases),
     proving the drawn batches are real data, not garbage gathers."""
-    ds = SyntheticDepthDataset(n=8, image_size=S, seed=0)
-    tr = _trainer(n_data=1, batch_size=4)
-    store = build_resident_store(ds, tr.mesh)
+    _, tr, store = shared
     state = tr.init_state()
     losses = []
     for _ in range(30):
@@ -122,13 +131,11 @@ def test_resident_training_reduces_loss():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
 
 
-def test_resident_chain_matches_single_steps():
+def test_resident_chain_matches_single_steps(shared):
     """resident_chain(n) == n resident_step calls: same final step count and
     the same per-step losses (the scan advances state.step exactly like the
     single-step path, so the draw/augment/sample RNG streams coincide)."""
-    ds = SyntheticDepthDataset(n=8, image_size=S, seed=0)
-    tr = _trainer(n_data=1)
-    store = build_resident_store(ds, tr.mesh)
+    _, tr, store = shared
 
     s1 = tr.init_state()
     single_losses = []
@@ -147,25 +154,22 @@ def test_resident_chain_matches_single_steps():
     assert all(bool(x) for x in jax.device_get(mc.finite))
 
 
-def test_fit_resident_chain_mode():
+def test_fit_resident_chain_mode(shared):
     """fit() with resident_chain_steps > 1 trains whole chunks per dispatch,
     including a remainder chunk, and records per-step losses."""
-    ds = SyntheticDepthDataset(n=8, image_size=S, seed=0)
+    ds, _, store = shared
     devs = jax.devices()[:1]
     cfg = _cfg(1, 4).replace(resident_chain_steps=2)
     tr = Trainer(cfg, steps_per_epoch=3, mesh=make_mesh(cfg.mesh, devs))
-    store = build_resident_store(ds, tr.mesh)
     state = tr.init_state()
     state, history = tr.fit(state, None, epochs=1, resident_store=store)
     assert int(jax.device_get(state.step)) == 3  # chunk of 2 + remainder 1
     assert len(history["loss"]) == 1 and np.isfinite(history["loss"][0])
 
 
-def test_fit_resident_mode():
-    ds = SyntheticDepthDataset(n=8, image_size=S, seed=0)
-    tr = _trainer(n_data=1, batch_size=4)
+def test_fit_resident_mode(shared):
+    _, tr, store = shared
     tr.steps_per_epoch = 2
-    store = build_resident_store(ds, tr.mesh)
     state = tr.init_state()
     state, history = tr.fit(state, None, epochs=2, resident_store=store)
     assert len(history["loss"]) == 2

@@ -82,8 +82,11 @@ pytestmark = []
 
 @pytest.fixture(scope="module")
 def tiny():
+    # ff_smoke: resume/preemption mechanics are model-independent; the
+    # flagship model's checkpoint path is covered by test_checkpoint + the
+    # real-chip workflows
     cfg = ExperimentConfig(
-        model_name="ff_effnet", input_size=S, batch_size=4, ranking_size=3,
+        model_name="ff_smoke", input_size=S, batch_size=4, ranking_size=3,
         rankings_per_image=8, sampling_type=1, freeze_encoder=False,
         compute_dtype="float32", listmle_impl="xla", initial_lr=3e-4,
         epochs=1,

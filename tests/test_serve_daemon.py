@@ -121,7 +121,7 @@ def test_cli_serve_once_with_weights(tmp_path):
     from pldepth_tpu.train import Trainer
     from pldepth_tpu.train.checkpoint import save_weights_npz
 
-    cfg = ExperimentConfig(model_name="ff_effnet", input_size=64, batch_size=8)
+    cfg = ExperimentConfig(model_name="ff_smoke", input_size=64, batch_size=8)
     tr = Trainer(cfg, steps_per_epoch=1)
     wpath = str(tmp_path / "w.npz")
     save_weights_npz(wpath, tr.init_state())
@@ -129,7 +129,7 @@ def test_cli_serve_once_with_weights(tmp_path):
     _put_images(watch, ["x.png", "y.png", "z.png"], size=64)
     res = CliRunner().invoke(
         cli,
-        ["serve", "--model_name", "ff_effnet", "--input_size", "64",
+        ["serve", "--model_name", "ff_smoke", "--input_size", "64",
          "--batch_size", "3", "--load_model_path", wpath,
          "--watch_dir", watch, "--out_dir", out, "--once", "true"],
         catch_exceptions=False,
@@ -153,7 +153,7 @@ def test_cli_serve_once_from_artifact(tmp_path):
     from pldepth_tpu.serve import export_predict
     from pldepth_tpu.train import Trainer
 
-    cfg = ExperimentConfig(model_name="ff_effnet", input_size=64, batch_size=2)
+    cfg = ExperimentConfig(model_name="ff_smoke", input_size=64, batch_size=2)
     tr = Trainer(cfg, steps_per_epoch=1, mesh=make_mesh(devices=jax.devices()[:1]))
     apath = str(tmp_path / "m.plx")
     export_predict(tr, tr.init_state(), batch_size=0, path=apath,

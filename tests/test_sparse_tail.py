@@ -156,8 +156,10 @@ def test_trainer_sparse_tail_step(rng):
     from pldepth_tpu.core.mesh import make_mesh
     from pldepth_tpu.train.trainer import Trainer
 
+    # ff_smoke: same SkipConcatDecoder (the module under test), ~2% of the
+    # B0 compile; the dense/sparse decoder semantics are width-independent
     base = ExperimentConfig(
-        model_name="ff_effnet", batch_size=4, input_size=S,
+        model_name="ff_smoke", batch_size=4, input_size=S,
         ranking_size=3, rankings_per_image=10, sampling_type=1,
         epochs=1, compute_dtype="float32", schedule="constant",
         initial_lr=1e-3, freeze_encoder=False,

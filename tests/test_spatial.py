@@ -21,8 +21,10 @@ S = 64
 
 
 def _cfg(mesh, batch_size=2):
+    # ff_smoke: the spatial row-sharding equivalence under test is
+    # model-independent (same conv/downsample topology as B0)
     return ExperimentConfig(
-        model_name="ff_effnet", input_size=S, batch_size=batch_size,
+        model_name="ff_smoke", input_size=S, batch_size=batch_size,
         ranking_size=3,
         rankings_per_image=8, sampling_type=1, freeze_encoder=False,
         compute_dtype="float32", listmle_impl="xla", initial_lr=3e-4,
@@ -96,13 +98,13 @@ def test_spatial_sharding_requires_divisible_input():
     if len(devs) < 4:
         pytest.skip("needs 4 virtual devices")
     cfg = ExperimentConfig(
-        model_name="ff_effnet", input_size=96, batch_size=1, ranking_size=3,
+        model_name="ff_smoke", input_size=96, batch_size=1, ranking_size=3,
         rankings_per_image=4, compute_dtype="float32", listmle_impl="xla",
         mesh=MeshConfig(data=1, model=4), spatial_sharding=True,
     )
     # 96 % 4 == 0 is fine; check the error path with a non-divisible axis
     cfg_bad = ExperimentConfig(
-        model_name="ff_effnet", input_size=100, batch_size=1, ranking_size=3,
+        model_name="ff_smoke", input_size=100, batch_size=1, ranking_size=3,
         rankings_per_image=4, compute_dtype="float32", listmle_impl="xla",
         mesh=MeshConfig(data=1, model=3), spatial_sharding=True,
     )

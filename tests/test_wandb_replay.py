@@ -114,7 +114,7 @@ def test_run_wandb_sweep_record_replay():
     }
     try:
         cfg = ExperimentConfig(
-            model_name="ff_effnet", dataset="synthetic", ds_size=16,
+            model_name="ff_smoke", dataset="synthetic", ds_size=16,
             input_size=32, batch_size=8, ranking_size=3,
             rankings_per_image=8, sampling_type=1, epochs=1,
             freeze_encoder=False, compute_dtype="float32",
@@ -158,7 +158,7 @@ def test_run_wandb_sweep_reattach_existing_sweep():
         "project": "pldepth-tpu-sweep",
     }
     cfg = ExperimentConfig(
-        model_name="ff_effnet", dataset="synthetic", ds_size=16,
+        model_name="ff_smoke", dataset="synthetic", ds_size=16,
         input_size=32, batch_size=8, ranking_size=3, rankings_per_image=8,
         sampling_type=1, epochs=1, freeze_encoder=False,
         compute_dtype="float32", listmle_impl="xla",
