@@ -263,14 +263,17 @@ def main() -> None:
         from pldepth_tpu.data import build_resident_store
 
         store = build_resident_store(ds, trainer.mesh)
-        state, m = trainer.resident_step(state, store.arrays)  # compile
-        jax.block_until_ready(m.loss)
+        # NOTE: m_res, not m — the loss_sample in the detail file below must
+        # keep sampling the main train step (and resident_chain's loss is a
+        # (scan_len,) vector that float() would reject)
+        state, m_res = trainer.resident_step(state, store.arrays)  # compile
+        jax.block_until_ready(m_res.loss)
         t0 = time.time()
         for i in range(scan_len):
-            state, m = trainer.resident_step(state, store.arrays)
+            state, m_res = trainer.resident_step(state, store.arrays)
             if i % 2 == 1:
-                m.loss.block_until_ready()
-        jax.block_until_ready(m.loss)
+                m_res.loss.block_until_ready()
+        jax.block_until_ready(m_res.loss)
         ips_resident = scan_len * batch / (time.time() - t0)
     except Exception as e:  # keep the bench robust
         print(f"# resident-data bench skipped: {e}", file=sys.stderr)
@@ -284,11 +287,11 @@ def main() -> None:
     if ips_resident is not None:
         try:
             chain = trainer.resident_chain(scan_len)
-            state, m = chain(state, store.arrays)  # compile
-            jax.block_until_ready(m.loss)
+            state, m_chain = chain(state, store.arrays)  # compile
+            jax.block_until_ready(m_chain.loss)
             t0 = time.time()
-            state, m = chain(state, store.arrays)
-            jax.block_until_ready(m.loss)
+            state, m_chain = chain(state, store.arrays)
+            jax.block_until_ready(m_chain.loss)
             ips_resident_chain = scan_len * batch / (time.time() - t0)
         except Exception as e:  # keep the bench robust
             print(f"# resident-chain bench skipped: {e}", file=sys.stderr)
@@ -324,7 +327,10 @@ def main() -> None:
         "baseline_tf2_cpu_images_per_sec": baseline,
         "devices": [str(d) for d in jax.devices()],
     }
-    with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:
+    detail_path = os.environ.get(
+        "BENCH_DETAIL", os.path.join(os.path.dirname(__file__), "bench_detail.json")
+    )
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=2)
 
     print(

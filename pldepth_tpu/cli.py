@@ -437,11 +437,12 @@ def eval_cmd(model_name, load_model_path, dataset, data_root, input_size,
     from pldepth_tpu.data import get_dataset
     from pldepth_tpu.eval.evaluator import Evaluator
     from pldepth_tpu.train import Trainer
-    from pldepth_tpu.train.checkpoint import load_weights_npz
+    from pldepth_tpu.train.checkpoint import infer_decoder_head_ch, load_weights_npz
 
     cfg = ExperimentConfig(
         model_name=model_name, input_size=input_size, ranking_size=ranking_size,
         dataset=dataset, data_root=data_root,
+        decoder_head_ch=infer_decoder_head_ch(load_model_path),
     )
     trainer = Trainer(cfg, steps_per_epoch=1)
     state = load_weights_npz(load_model_path, trainer.init_state())
@@ -472,9 +473,10 @@ def zeroshot(model_name, load_model_path, input_size, limit, **roots):
     from pldepth_tpu.data import get_dataset
     from pldepth_tpu.eval.evaluator import Evaluator
     from pldepth_tpu.train import Trainer
-    from pldepth_tpu.train.checkpoint import load_weights_npz
+    from pldepth_tpu.train.checkpoint import infer_decoder_head_ch, load_weights_npz
 
-    cfg = ExperimentConfig(model_name=model_name, input_size=input_size)
+    cfg = ExperimentConfig(model_name=model_name, input_size=input_size,
+                           decoder_head_ch=infer_decoder_head_ch(load_model_path))
     trainer = Trainer(cfg, steps_per_epoch=1)
     state = load_weights_npz(load_model_path, trainer.init_state())
     datasets = []
@@ -557,9 +559,10 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
     from pldepth_tpu.core.config import ExperimentConfig
     from pldepth_tpu.data import io as dio
     from pldepth_tpu.train import Trainer
-    from pldepth_tpu.train.checkpoint import load_weights_npz
+    from pldepth_tpu.train.checkpoint import infer_decoder_head_ch, load_weights_npz
 
-    cfg = ExperimentConfig(model_name=model_name, input_size=input_size)
+    cfg = ExperimentConfig(model_name=model_name, input_size=input_size,
+                           decoder_head_ch=infer_decoder_head_ch(load_model_path))
     trainer = Trainer(cfg, steps_per_epoch=1)
     state = load_weights_npz(load_model_path, trainer.init_state())
     # serving is data-parallel over the mesh (all visible devices); the
@@ -567,10 +570,8 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
     from pldepth_tpu.core.mesh import pad_to_batch, round_batch
 
     batch_size = round_batch(batch_size, trainer.mesh)
-    # fused_encoder already folds inference BN inside its Pallas kernels,
-    # so it supersedes (not composes with) the XLA-graph bn_fold default
     predict_fn = trainer.jit_predict(
-        fused=True if fused_encoder else ("bn_fold" if bn_fold else False)
+        fused=Trainer.serving_mode(fused_encoder, bn_fold)
     )
 
     if os.path.isdir(inputs):
@@ -653,14 +654,18 @@ def serve(model_name, load_model_path, artifact, watch_dir, out_dir,
         from pldepth_tpu.core.config import ExperimentConfig
         from pldepth_tpu.core.mesh import pad_to_batch, round_batch
         from pldepth_tpu.train import Trainer
-        from pldepth_tpu.train.checkpoint import load_weights_npz
+        from pldepth_tpu.train.checkpoint import (
+            infer_decoder_head_ch,
+            load_weights_npz,
+        )
 
-        cfg = ExperimentConfig(model_name=model_name, input_size=input_size)
+        cfg = ExperimentConfig(model_name=model_name, input_size=input_size,
+                               decoder_head_ch=infer_decoder_head_ch(load_model_path))
         trainer = Trainer(cfg, steps_per_epoch=1)
         state = load_weights_npz(load_model_path, trainer.init_state())
         batch_size = round_batch(batch_size, trainer.mesh)
         predict_fn = trainer.jit_predict(
-            fused=True if fused_encoder else ("bn_fold" if bn_fold else False)
+            fused=Trainer.serving_mode(fused_encoder, bn_fold)
         )
         infer = lambda imgs: predict_fn(state, imgs)
         pad = lambda a: pad_to_batch(a, batch_size)
@@ -695,11 +700,12 @@ def export(model_name, load_model_path, out, input_size, batch_size,
     from pldepth_tpu.core.mesh import make_mesh
     from pldepth_tpu.serve import export_predict
     from pldepth_tpu.train import Trainer
-    from pldepth_tpu.train.checkpoint import load_weights_npz
+    from pldepth_tpu.train.checkpoint import infer_decoder_head_ch, load_weights_npz
 
     import jax
 
-    cfg = ExperimentConfig(model_name=model_name, input_size=input_size)
+    cfg = ExperimentConfig(model_name=model_name, input_size=input_size,
+                           decoder_head_ch=infer_decoder_head_ch(load_model_path))
     # single-device semantics: the artifact carries no mesh assumptions —
     # the serving process shards batches however it likes
     trainer = Trainer(cfg, steps_per_epoch=1,

@@ -274,10 +274,25 @@ def run_wandb_sweep(
 
     def _one_run():
         run = wandb.init()
+        # Apply every suggested key that is a real config field — when
+        # re-attaching to a sweep created from a different space, the
+        # server's suggestions must still take effect (silently training
+        # the base config while logging the target would feed the bayes
+        # optimizer identical results attributed to different draws).
+        import dataclasses
+
+        cfg_fields = {f.name for f in dataclasses.fields(base_cfg)}
+        space = SEARCH_SPACES[space_name]
+        suggested = dict(run.config)
         overrides = {
-            k: v for k, v in dict(run.config).items()
-            if k in SEARCH_SPACES[space_name]
+            k: v for k, v in suggested.items() if k in space or k in cfg_fields
         }
+        unknown = sorted(set(suggested) - set(overrides))
+        if unknown:
+            log.warning(
+                "wandb sweep suggested parameters with no matching config "
+                "field (space mismatch on re-attach?): %s", unknown,
+            )
         cfg = base_cfg.replace(**overrides)
         try:
             metrics = run_single(cfg, target)

@@ -115,3 +115,23 @@ def load_weights_npz(path: str, state):
 
     params, batch_stats = load_backbone(path, state.params, state.batch_stats)
     return state.replace(params=params, batch_stats=batch_stats)
+
+
+def infer_decoder_head_ch(path: str, default: int = 32) -> int:
+    """Read the trained decoder width straight from a weights npz.
+
+    Models trained with ``--decoder_head_ch != 32`` are otherwise
+    unloadable by the serving/eval CLI commands (they build the model
+    before loading, and conv4's out-channels must match). The ff_redweb
+    family has no ``decoder/conv4``; the default is returned and ignored.
+    """
+    import numpy as np
+
+    try:
+        with np.load(path) as archive:
+            key = "params/decoder/conv4/kernel"
+            if key in archive:
+                return int(archive[key].shape[-1])
+    except Exception:
+        pass
+    return default

@@ -588,7 +588,8 @@ class Trainer:
         )
         top, taps = encoder_infer(enc_p, enc_s, x, plans, dtype=module.dtype)
         pred = SkipConcatDecoder(
-            dtype=module.dtype, fused_tail=module.fused_tail
+            dtype=module.dtype, fused_tail=module.fused_tail,
+            head_ch=module.head_ch,
         ).apply(
             {
                 "params": state.params["decoder"],
@@ -616,6 +617,14 @@ class Trainer:
         )
         pred = folded_module.apply(folded, x, False)
         return pred[..., 0] if pred.ndim == 4 else pred
+
+    @staticmethod
+    def serving_mode(fused_encoder: bool, bn_fold: bool):
+        """The one precedence policy for the serving CLI flags: the fused
+        Pallas encoder folds BN inside its kernels, so it supersedes (not
+        composes with) the XLA-graph bn_fold default. Returns the value
+        ``jit_predict(fused=...)`` expects."""
+        return True if fused_encoder else ("bn_fold" if bn_fold else False)
 
     def jit_predict(self, fused=False) -> Callable:
         """Data-parallel jitted serving fn: state replicated, the image

@@ -1,0 +1,49 @@
+"""bench.py end-to-end smoke on the CPU backend.
+
+The driver runs `python bench.py` at the end of every round; a crash there
+loses the round's headline measurement (a rebound `m` once turned the
+loss_sample into a (scan_len,) vector and TypeError'd at the summary).
+This runs the full main() — device chain, host pipeline, native packed
+pipeline, resident + resident-chain benches, detail file, JSON line — at
+smoke scale.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_bench_main_end_to_end(tmp_path, monkeypatch, capsys):
+    detail_path = str(tmp_path / "detail.json")
+    monkeypatch.setenv("BENCH_MODEL", "ff_smoke")
+    monkeypatch.setenv("BENCH_IMAGE_SIZE", "64")
+    # conftest's virtual mesh has 8 devices; the bench batch must divide
+    monkeypatch.setenv("BENCH_BATCH", "8")
+    monkeypatch.setenv("BENCH_SCAN", "2")
+    monkeypatch.setenv("BENCH_K", "3")
+    monkeypatch.setenv("BENCH_DETAIL", detail_path)
+    # the CPU backend is already forced by conftest; BENCH_FORCE_CPU's
+    # config update is a no-op here but keeps main()'s path realistic
+    monkeypatch.setenv("BENCH_FORCE_CPU", "1")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    bench.main()
+
+    out = capsys.readouterr().out.strip().splitlines()
+    line = json.loads(out[-1])
+    assert line["unit"] == "images/sec/chip"
+    assert line["value"] > 0 and line["vs_baseline"] > 0
+
+    detail = json.loads(open(detail_path).read())
+    assert detail["images_per_sec_device"] > 0
+    # the resident benches must have produced numbers, not been skipped
+    assert detail["images_per_sec_resident_data"] > 0
+    assert detail["images_per_sec_resident_chain"] > 0
+    # loss_sample samples the single train step (a scalar, not the chain)
+    assert isinstance(detail["loss_sample"], float)

@@ -106,3 +106,46 @@ def test_model_name_choices_match_registry():
     param = next(p for p in cli.commands["train"].params
                  if p.name == "model_name")
     assert set(param.type.choices) == set(MODEL_REGISTRY)
+
+
+def test_predict_loads_nondefault_decoder_head_ch(tmp_path):
+    """Serving commands infer decoder_head_ch from the checkpoint
+    (train/checkpoint.py infer_decoder_head_ch), so a model trained with
+    --decoder_head_ch != 32 stays servable without extra flags."""
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from pldepth_tpu.cli import cli
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.core.mesh import make_mesh
+    from pldepth_tpu.train import Trainer
+    from pldepth_tpu.train.checkpoint import (
+        infer_decoder_head_ch,
+        save_weights_npz,
+    )
+
+    cfg = ExperimentConfig(model_name="ff_smoke", input_size=S,
+                           decoder_head_ch=40)
+    tr = Trainer(cfg, steps_per_epoch=1,
+                 mesh=make_mesh(devices=jax.devices()[:1]))
+    wpath = str(tmp_path / "w40.npz")
+    save_weights_npz(wpath, tr.init_state())
+    assert infer_decoder_head_ch(wpath) == 40
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (S, S, 3), np.uint8)
+    ).save(img_dir / "a.png")
+    out_dir = str(tmp_path / "out")
+    res = CliRunner().invoke(
+        cli,
+        ["predict", "--model_name", "ff_smoke", "--input_size", str(S),
+         "--load_model_path", wpath, "--inputs", str(img_dir),
+         "--out_dir", out_dir, "--batch_size", "1"],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    d = np.load(os.path.join(out_dir, "a_depth.npy"))
+    assert d.shape == (S, S) and np.isfinite(d).all()

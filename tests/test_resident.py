@@ -169,9 +169,13 @@ def test_fit_resident_chain_mode(shared):
 
 def test_fit_resident_mode(shared):
     _, tr, store = shared
+    prev = tr.steps_per_epoch
     tr.steps_per_epoch = 2
-    state = tr.init_state()
-    state, history = tr.fit(state, None, epochs=2, resident_store=store)
-    assert len(history["loss"]) == 2
-    assert all(np.isfinite(history["loss"]))
-    assert int(jax.device_get(state.step)) == 4
+    try:
+        state = tr.init_state()
+        state, history = tr.fit(state, None, epochs=2, resident_store=store)
+        assert len(history["loss"]) == 2
+        assert all(np.isfinite(history["loss"]))
+        assert int(jax.device_get(state.step)) == 4
+    finally:
+        tr.steps_per_epoch = prev  # module-scoped fixture: undo the mutation

@@ -23,11 +23,14 @@ from pldepth_tpu.train import Trainer
 
 print("devices:", jax.devices(), flush=True)
 
-BATCH, SIZE = 32, 448
+BATCH = int(os.environ.get("DRIVE_BATCH", 32))
+SIZE = int(os.environ.get("DRIVE_SIZE", 448))
+MODEL = os.environ.get("DRIVE_MODEL", "ff_effnet")
 cfg = ExperimentConfig(
-    model_name="ff_effnet", input_size=SIZE, batch_size=BATCH,
+    model_name=MODEL, input_size=SIZE, batch_size=BATCH,
     ranking_size=5, rankings_per_image=100,
 )
+print(f"model={MODEL} batch={BATCH} size={SIZE}", flush=True)
 trainer = Trainer(cfg, steps_per_epoch=1)
 state = trainer.init_state()
 images = jax.device_put(
