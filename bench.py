@@ -169,7 +169,12 @@ def main() -> None:
         # before the fetched value exists; the RTT cancels in the difference.
         import jax.numpy as jnp
 
-        if os.environ.get("BENCH_BN_FOLD") == "1":
+        if os.environ.get("BENCH_QUANT") == "1":
+            # int8 serving graph (models/quantize.py): `state` becomes the
+            # calibrated+packed variables the quant forward consumes
+            state = trainer.prepare_quant(state, host_batch["image"])
+            predict_fn = trainer.predict_quant
+        elif os.environ.get("BENCH_BN_FOLD") == "1":
             predict_fn = trainer.predict_bnfold
         elif os.environ.get("BENCH_FUSED_ENC") == "1":
             predict_fn = trainer.predict_fused

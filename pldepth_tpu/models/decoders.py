@@ -72,14 +72,21 @@ class SkipConcatDecoder(nn.Module):
     fused_tail: bool = True
     # inference-only: BN pre-folded into biased convs (models/bn_fold.py)
     bn_fold: bool = False
+    # inference-only: int8 serving / calibration (models/quantize.py);
+    # the 1-channel head conv stays bf16 for output quality
+    quant: Any = False
 
     @nn.compact
     def __call__(self, top, taps, train: bool = False, pixels=None):
+        from pldepth_tpu.models.quantize import make_conv
+
+        fold = self.bn_fold or bool(self.quant)
+
         def conv_bn_relu_up(x, ch, idx):
-            x = nn.Conv(
-                ch, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{idx}"
+            x = make_conv(
+                self.quant, self.dtype, ch, (3, 3), f"conv{idx}"
             )(x)
-            if not self.bn_fold:
+            if not fold:
                 x = _bn(f"bn{idx}", train)(x).astype(self.dtype)
             x = nn.relu(x)
             return upsample2x_bilinear(x)
@@ -92,10 +99,10 @@ class SkipConcatDecoder(nn.Module):
         x = jnp.concatenate([x, taps["expand_3"]], axis=-1)
         x = conv_bn_relu_up(x, self.head_ch, 3)  # -> 1/2
         # stage 4 unrolled (conv4/bn4/relu at 1/2) so the tail can go sparse
-        x = nn.Conv(
-            self.head_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv4"
+        x = make_conv(
+            self.quant, self.dtype, self.head_ch, (3, 3), "conv4"
         )(x)
-        if not self.bn_fold:
+        if not fold:
             x = _bn("bn4", train)(x).astype(self.dtype)
         x = nn.relu(x)
         if pixels is None and self.fused_tail:

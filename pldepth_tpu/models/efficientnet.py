@@ -112,26 +112,30 @@ class MBConv(nn.Module):
     dtype: Any = jnp.bfloat16
     # inference-only: BN pre-folded into biased convs (models/bn_fold.py)
     bn_fold: bool = False
+    # inference-only: int8 convs ("int8") or calibration pass ("calib");
+    # implies bn_fold trees (models/quantize.py)
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from pldepth_tpu.models.quantize import make_conv
+
         inputs = x
         expand_act = None
-        fold = self.bn_fold
+        fold = self.bn_fold or bool(self.quant)  # quant trees are BN-folded
         if self.expand != 1:
-            x = nn.Conv(
-                self.in_ch * self.expand, (1, 1), use_bias=fold,
-                dtype=self.dtype, name="expand_conv",
+            x = make_conv(
+                self.quant, self.dtype, self.in_ch * self.expand, (1, 1),
+                "expand_conv", use_bias=fold,
             )(x)
             if not fold:
                 x = _bn("expand_bn", train)(x).astype(self.dtype)
             x = nn.swish(x)
             expand_act = x  # "blockXa_expand_activation" tap point
         k = self.kernel
-        x = nn.Conv(
-            x.shape[-1], (k, k), strides=self.stride, padding="SAME",
-            feature_group_count=x.shape[-1], use_bias=fold,
-            dtype=self.dtype, name="dw_conv",
+        x = make_conv(
+            self.quant, self.dtype, x.shape[-1], (k, k), "dw_conv",
+            strides=self.stride, groups=x.shape[-1], use_bias=fold,
         )(x)
         if not fold:
             x = _bn("dw_bn", train)(x).astype(self.dtype)
@@ -140,8 +144,9 @@ class MBConv(nn.Module):
             x = SqueezeExcite(
                 max(1, int(self.in_ch * self.se_ratio)), dtype=self.dtype, name="se"
             )(x)
-        x = nn.Conv(
-            self.out_ch, (1, 1), use_bias=fold, dtype=self.dtype, name="project_conv"
+        x = make_conv(
+            self.quant, self.dtype, self.out_ch, (1, 1), "project_conv",
+            use_bias=fold,
         )(x)
         if not fold:
             x = _bn("project_bn", train)(x).astype(self.dtype)
@@ -166,19 +171,24 @@ class EfficientNetEncoder(nn.Module):
     dtype: Any = jnp.bfloat16
     # inference-only: BN pre-folded into biased convs (models/bn_fold.py)
     bn_fold: bool = False
+    # inference-only: int8 serving / calibration (models/quantize.py)
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.bn_fold and train:
+        from pldepth_tpu.models.quantize import make_conv
+
+        if (self.bn_fold or self.quant) and train:
             raise ValueError("bn_fold is an inference-only mode (train=False)")
+        fold = self.bn_fold or bool(self.quant)
         width, depth = VARIANTS[self.variant]
         x = x.astype(self.dtype)
 
-        x = nn.Conv(
-            round_filters(32, width), (3, 3), strides=2, padding="SAME",
-            use_bias=self.bn_fold, dtype=self.dtype, name="stem_conv",
+        x = make_conv(
+            self.quant, self.dtype, round_filters(32, width), (3, 3),
+            "stem_conv", strides=2, use_bias=fold,
         )(x)
-        if not self.bn_fold:
+        if not fold:
             x = _bn("stem_bn", train)(x).astype(self.dtype)
         x = nn.swish(x)
 
@@ -202,6 +212,7 @@ class EfficientNetEncoder(nn.Module):
                     drop_rate=self.drop_connect_rate * block_idx / total_blocks,
                     dtype=self.dtype,
                     bn_fold=self.bn_fold,
+                    quant=self.quant,
                     name=f"stage{stage_num}_block{i}",
                 )
                 x, expand_act = blk(x, train)
@@ -210,11 +221,11 @@ class EfficientNetEncoder(nn.Module):
                 in_ch = out_ch
                 block_idx += 1
 
-        x = nn.Conv(
-            round_filters(1280, width), (1, 1), use_bias=self.bn_fold,
-            dtype=self.dtype, name="top_conv",
+        x = make_conv(
+            self.quant, self.dtype, round_filters(1280, width), (1, 1),
+            "top_conv", use_bias=fold,
         )(x)
-        if not self.bn_fold:
+        if not fold:
             x = _bn("top_bn", train)(x).astype(self.dtype)
         x = nn.swish(x)
         return x, taps

@@ -49,6 +49,9 @@ class EffNetFullyFledged(nn.Module):
     drop_connect_rate: float = 0.2
     # inference-only mode expecting models/bn_fold.py fold_variables output
     bn_fold: bool = False
+    # inference-only int8 serving ("int8") / calibration ("calib") mode
+    # expecting models/quantize.py quantize_variables output
+    quant: Any = False
     # width of the decoder's last two stages; 32 = reference (see
     # core/config.py decoder_head_ch)
     head_ch: int = 32
@@ -65,11 +68,13 @@ class EffNetFullyFledged(nn.Module):
             dtype=self.dtype,
             drop_connect_rate=self.drop_connect_rate,
             bn_fold=self.bn_fold,
+            quant=self.quant,
             name="encoder",
         )(x, train)
         return SkipConcatDecoder(
             dtype=self.dtype, fused_tail=self.fused_tail,
-            bn_fold=self.bn_fold, head_ch=self.head_ch, name="decoder",
+            bn_fold=self.bn_fold, quant=self.quant, head_ch=self.head_ch,
+            name="decoder",
         )(top, taps, train, pixels)
 
 

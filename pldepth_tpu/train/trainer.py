@@ -618,6 +618,49 @@ class Trainer:
         pred = folded_module.apply(folded, x, False)
         return pred[..., 0] if pred.ndim == 4 else pred
 
+    def prepare_quant(self, state: TrainState, calib_images) -> dict:
+        """Calibrate and pack int8 serving variables (models/quantize.py).
+
+        ``calib_images`` is one raw image batch or a list of batches in the
+        same format ``predict`` takes; activation scales are calibrated on
+        them (weights come from ``state``, BN-folded then quantized
+        per-channel). Returns the variables ``predict_quant`` expects.
+        """
+        from pldepth_tpu.models.pldepth_net import EffNetFullyFledged
+        from pldepth_tpu.models.quantize import quantize_variables
+
+        if not isinstance(self.model.module, EffNetFullyFledged):
+            raise NotImplementedError(
+                "int8 serving is implemented for the ff_effnet family"
+            )
+        calib_module = self.model.module.clone(quant="calib")
+        batches = (
+            calib_images
+            if isinstance(calib_images, (list, tuple))
+            else [calib_images]
+        )
+        normalized = [
+            normalize_images(jnp.asarray(b, jnp.float32), self.model.preprocess)
+            for b in batches
+        ]
+        return quantize_variables(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            self.model.name,
+            calib_module,
+            normalized,
+        )
+
+    def predict_quant(self, qvars: dict, images: jax.Array) -> jax.Array:
+        """predict() on the int8 serving graph: every large conv (stem, all
+        MBConv convs incl. depthwise, decoder 3x3s) runs int8 on the MXU
+        with static calibrated activation scales; SE, the head conv and all
+        epilogues stay bf16/f32. ``qvars`` comes from ``prepare_quant``.
+        This chip measures int8 convs ~3x bf16 (docs/BENCH.md)."""
+        module = self.model.module.clone(quant="int8")
+        x = normalize_images(jnp.asarray(images, jnp.float32), self.model.preprocess)
+        pred = module.apply(qvars, x, False)
+        return pred[..., 0] if pred.ndim == 4 else pred
+
     @staticmethod
     def serving_mode(fused_encoder: bool, bn_fold: bool):
         """The one precedence policy for the serving CLI flags: the fused
@@ -645,6 +688,10 @@ class Trainer:
             return self._jit_predict[fused]
         if fused == "bn_fold":
             fn = self.predict_bnfold
+        elif fused == "quant":
+            # first arg is prepare_quant() variables instead of TrainState;
+            # the sharding specs below treat it identically (replicated)
+            fn = self.predict_quant
         else:
             fn = self.predict_fused if fused else self.predict
         d = self.mesh.axis_names[0]
