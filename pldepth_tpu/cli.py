@@ -547,8 +547,13 @@ def active(rounds, split_num, sigma, pretrain_epochs, **kw):
                    "(models/bn_fold.py; exact to compute-dtype rounding; "
                    "-10.4%% serving time @448^2, docs/BENCH.md). "
                    "--fused_encoder takes precedence (it folds BN itself)")
+@click.option("--quantize", default="", type=click.Choice(["", "int8"]),
+              help="int8 post-training quantization for serving "
+                   "(models/quantize.py; +7%% over bn_fold @448^2, "
+                   "docs/BENCH.md). Activation scales calibrate on the "
+                   "first input batch; ff_effnet family only")
 def predict(model_name, load_model_path, inputs, out_dir, input_size,
-            batch_size, save_png, fused_encoder, bn_fold):
+            batch_size, save_png, fused_encoder, bn_fold, quantize):
     """Batched depth-map inference (serving path): writes <name>_depth.npy
     (+ minmax-normalized png preview) per input image."""
     import glob as globmod
@@ -570,9 +575,8 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
     from pldepth_tpu.core.mesh import pad_to_batch, round_batch
 
     batch_size = round_batch(batch_size, trainer.mesh)
-    predict_fn = trainer.jit_predict(
-        fused=Trainer.serving_mode(fused_encoder, bn_fold)
-    )
+    mode = Trainer.serving_mode(fused_encoder, bn_fold, quantize)
+    predict_fn = trainer.jit_predict(fused=mode)
 
     if os.path.isdir(inputs):
         files = sorted(
@@ -596,6 +600,10 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
 
     chunks = [files[s : s + batch_size] for s in range(0, len(files), batch_size)]
     write = depth_writer(out_dir, save_png, unique_stems(files))
+    if mode == "quant":
+        # activation scales calibrate on the first real input chunk
+        calib = pad_to_batch(decode_image_chunk(chunks[0], input_size), batch_size)
+        state = trainer.prepare_quant(state, calib)
     run_pipeline(
         chunks,
         lambda chunk: pad_to_batch(decode_image_chunk(chunk, input_size), batch_size),
@@ -623,9 +631,12 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
 @click.option("--bn_fold", default=True, type=click.BOOL,
               help="serving default: BN folded into biased convs "
                    "(models/bn_fold.py; checkpoint source only)")
+@click.option("--quantize", default="", type=click.Choice(["", "int8"]),
+              help="int8 serving (models/quantize.py; checkpoint source "
+                   "only). Scales calibrate on the first dispatched batch")
 def serve(model_name, load_model_path, artifact, watch_dir, out_dir,
           input_size, batch_size, save_png, poll_interval, once,
-          fused_encoder, bn_fold):
+          fused_encoder, bn_fold, quantize):
     """Serving daemon: watch a directory, write depth maps for new images.
 
     Model source is either --load_model_path (data-parallel sharded forward
@@ -664,10 +675,20 @@ def serve(model_name, load_model_path, artifact, watch_dir, out_dir,
         trainer = Trainer(cfg, steps_per_epoch=1)
         state = load_weights_npz(load_model_path, trainer.init_state())
         batch_size = round_batch(batch_size, trainer.mesh)
-        predict_fn = trainer.jit_predict(
-            fused=Trainer.serving_mode(fused_encoder, bn_fold)
-        )
-        infer = lambda imgs: predict_fn(state, imgs)
+        mode = Trainer.serving_mode(fused_encoder, bn_fold, quantize)
+        predict_fn = trainer.jit_predict(fused=mode)
+        if mode == "quant":
+            # lazy calibration: scales come from the first dispatched batch
+            # (the daemon may start on an empty watch dir)
+            qcache = {}
+
+            def infer(imgs):
+                if "qv" not in qcache:
+                    qcache["qv"] = trainer.prepare_quant(state, imgs)
+                return predict_fn(qcache["qv"], imgs)
+
+        else:
+            infer = lambda imgs: predict_fn(state, imgs)
         pad = lambda a: pad_to_batch(a, batch_size)
 
     n = serve_directory(

@@ -107,6 +107,16 @@ class QuantConv(nn.Module):
         q = jnp.clip(
             jnp.round(x.astype(self.dtype) * inv), -127, 127
         ).astype(jnp.int8)
+        if self._use_pallas(q):
+            from pldepth_tpu.ops.quant_matmul import quant_matmul
+
+            b, h, w_, c = q.shape
+            out2d = quant_matmul(
+                q.reshape(b * h * w_, c),
+                kernel_q.reshape(c, self.features),
+                w_scale, bias, a_scale, out_dtype=self.dtype,
+            )
+            return out2d.reshape(b, h, w_, self.features)
         y = lax.conv_general_dilated(
             q, kernel_q, strides, self.padding,
             dimension_numbers=dn,
@@ -115,6 +125,32 @@ class QuantConv(nn.Module):
         )
         out = y.astype(self.dtype) * (a_scale * w_scale).astype(self.dtype)
         return out + bias.astype(self.dtype)
+
+    def _use_pallas(self, q) -> bool:
+        """Opt-in (PLDEPTH_QUANT_PALLAS=1): route fat-contraction 1x1 convs
+        to the Pallas fused int8 matmul (ops/quant_matmul.py). Standalone
+        the kernel beats the XLA int8 conv 2.07x at (100352, 672, 112), but
+        routed in-graph the whole serving forward measured 1019 vs 1045
+        img/s (per-call dispatch + lost epilogue fusions outweigh the saved
+        int32 round-trips) — same verdict as the fused MBConv encoder, so
+        OFF by default; see docs/BENCH.md. Thin-K shapes lose even
+        standalone (gated on K); TPU only (Mosaic kernel)."""
+        import os
+
+        from pldepth_tpu.ops.quant_matmul import (
+            QUANT_PALLAS_MIN_K, pick_tile_m,
+        )
+
+        b, h, w_, c = q.shape
+        return (
+            os.environ.get("PLDEPTH_QUANT_PALLAS", "0") == "1"
+            and self.kernel_size == (1, 1)
+            and self.strides == 1
+            and self.feature_group_count == 1
+            and c >= QUANT_PALLAS_MIN_K
+            and pick_tile_m(b * h * w_) is not None
+            and jax.default_backend() == "tpu"
+        )
 
 
 def make_conv(

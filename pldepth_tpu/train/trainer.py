@@ -662,11 +662,14 @@ class Trainer:
         return pred[..., 0] if pred.ndim == 4 else pred
 
     @staticmethod
-    def serving_mode(fused_encoder: bool, bn_fold: bool):
-        """The one precedence policy for the serving CLI flags: the fused
-        Pallas encoder folds BN inside its kernels, so it supersedes (not
-        composes with) the XLA-graph bn_fold default. Returns the value
-        ``jit_predict(fused=...)`` expects."""
+    def serving_mode(fused_encoder: bool, bn_fold: bool, quantize: str = ""):
+        """The one precedence policy for the serving CLI flags: explicit
+        ``--quantize int8`` wins (it builds on the BN-fold internally);
+        otherwise the fused Pallas encoder folds BN inside its kernels, so
+        it supersedes (not composes with) the XLA-graph bn_fold default.
+        Returns the value ``jit_predict(fused=...)`` expects."""
+        if quantize == "int8":
+            return "quant"
         return True if fused_encoder else ("bn_fold" if bn_fold else False)
 
     def jit_predict(self, fused=False) -> Callable:

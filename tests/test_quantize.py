@@ -95,3 +95,70 @@ def test_quant_rejects_non_effnet():
         trainer.prepare_quant(
             trainer.init_state(), np.zeros((2, 64, 64, 3), np.float32)
         )
+
+
+def test_quant_matmul_kernel_exact():
+    """ops/quant_matmul.py (interpret mode): matches the int32-accumulate
+    reference to <=1 LSB of the f32 epilogue."""
+    import jax.numpy as jnp
+
+    from pldepth_tpu.ops.quant_matmul import pick_tile_m, quant_matmul
+
+    rng = np.random.default_rng(0)
+    m, k, n = 96, 256, 136
+    x = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    ws = jnp.asarray(rng.random(n) * 0.01 + 1e-3, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n) * 0.01, jnp.float32)
+    a = jnp.float32(0.05)
+    got = np.asarray(
+        quant_matmul(x, w, ws, b, a, act="swish", out_dtype=jnp.float32,
+                     interpret=True),
+        np.float32,
+    )
+    acc = np.asarray(x, np.int32) @ np.asarray(w, np.int32)
+    ref = acc.astype(np.float32) * (np.asarray(ws) * 0.05) + np.asarray(b)
+    ref = ref / (1.0 + np.exp(-ref))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    assert pick_tile_m(m) == 96 and pick_tile_m(401408) == 1024
+    assert pick_tile_m(97) is None
+
+
+def test_cli_predict_quantize_int8(tmp_path):
+    """`cli predict --quantize int8`: calibrates on the first chunk and
+    writes depth maps through the int8 serving graph."""
+    import os
+
+    from click.testing import CliRunner
+    from PIL import Image
+
+    from pldepth_tpu.cli import cli
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.core.mesh import make_mesh
+    from pldepth_tpu.train import Trainer
+    from pldepth_tpu.train.checkpoint import save_weights_npz
+
+    cfg = ExperimentConfig(model_name="ff_smoke", input_size=64)
+    tr = Trainer(cfg, steps_per_epoch=1,
+                 mesh=make_mesh(devices=jax.devices()[:1]))
+    wpath = str(tmp_path / "w.npz")
+    save_weights_npz(wpath, tr.init_state())
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("a", "b"):
+        Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3), np.uint8)
+        ).save(img_dir / f"{name}.png")
+    out_dir = str(tmp_path / "out")
+    res = CliRunner().invoke(
+        cli,
+        ["predict", "--model_name", "ff_smoke", "--input_size", "64",
+         "--load_model_path", wpath, "--inputs", str(img_dir),
+         "--out_dir", out_dir, "--batch_size", "2", "--quantize", "int8"],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    for name in ("a", "b"):
+        d = np.load(os.path.join(out_dir, f"{name}_depth.npy"))
+        assert d.shape == (64, 64) and np.isfinite(d).all()
