@@ -551,7 +551,7 @@ def active(rounds, split_num, sigma, pretrain_epochs, **kw):
               help="int8 post-training quantization for serving "
                    "(models/quantize.py; +7%% over bn_fold @448^2, "
                    "docs/BENCH.md). Activation scales calibrate on the "
-                   "first input batch; ff_effnet family only")
+                   "first input batch")
 def predict(model_name, load_model_path, inputs, out_dir, input_size,
             batch_size, save_png, fused_encoder, bn_fold, quantize):
     """Batched depth-map inference (serving path): writes <name>_depth.npy

@@ -136,28 +136,32 @@ class ResidualBottleneckPair(nn.Module):
     ch: int
     dtype: Any = jnp.bfloat16
     bn_fold: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        fold = self.bn_fold
+        from pldepth_tpu.models.quantize import make_conv
+
+        fold = self.bn_fold or bool(self.quant)
         for u in range(2):
             res = x
-            y = nn.Conv(
-                self.ch // 4, (1, 1), use_bias=fold, dtype=self.dtype,
-                name=f"u{u}_conv0",
+            y = make_conv(
+                self.quant, self.dtype, self.ch // 4, (1, 1), f"u{u}_conv0",
+                use_bias=fold,
             )(x)
             if not fold:
                 y = _bn(f"u{u}_bn0", train)(y).astype(self.dtype)
             y = nn.relu(y)
-            y = nn.Conv(
-                self.ch // 4, (3, 3), padding="SAME", use_bias=fold,
-                dtype=self.dtype, name=f"u{u}_conv1",
+            y = make_conv(
+                self.quant, self.dtype, self.ch // 4, (3, 3), f"u{u}_conv1",
+                use_bias=fold,
             )(y)
             if not fold:
                 y = _bn(f"u{u}_bn1", train)(y).astype(self.dtype)
             y = nn.relu(y)
-            y = nn.Conv(
-                self.ch, (1, 1), use_bias=fold, dtype=self.dtype, name=f"u{u}_conv2"
+            y = make_conv(
+                self.quant, self.dtype, self.ch, (1, 1), f"u{u}_conv2",
+                use_bias=fold,
             )(y)
             if not fold:
                 y = _bn(f"u{u}_bn2", train)(y).astype(self.dtype)
@@ -172,28 +176,33 @@ class FeatureFusion(nn.Module):
     ch: int
     dtype: Any = jnp.bfloat16
     bn_fold: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, lateral, up, train: bool):
-        fold = self.bn_fold
-        left = nn.Conv(
-            self.ch, (3, 3), padding="SAME", use_bias=fold, dtype=self.dtype,
-            name="lateral_conv",
+        from pldepth_tpu.models.quantize import make_conv
+
+        fold = self.bn_fold or bool(self.quant)
+        left = make_conv(
+            self.quant, self.dtype, self.ch, (3, 3), "lateral_conv",
+            use_bias=fold,
         )(lateral)
         if not fold:
             left = _bn("lateral_bn", train)(left).astype(self.dtype)
         left = ResidualBottleneckPair(
-            self.ch, dtype=self.dtype, bn_fold=fold, name="lateral_block"
+            self.ch, dtype=self.dtype, bn_fold=self.bn_fold,
+            quant=self.quant, name="lateral_block"
         )(left, train)
-        top = nn.Conv(
-            self.ch, (3, 3), padding="SAME", use_bias=fold, dtype=self.dtype,
-            name="up_conv",
+        top = make_conv(
+            self.quant, self.dtype, self.ch, (3, 3), "up_conv",
+            use_bias=fold,
         )(up)
         if not fold:
             top = _bn("up_bn", train)(top).astype(self.dtype)
         x = left + top
         x = ResidualBottleneckPair(
-            self.ch, dtype=self.dtype, bn_fold=fold, name="fuse_block"
+            self.ch, dtype=self.dtype, bn_fold=self.bn_fold,
+            quant=self.quant, name="fuse_block"
         )(x, train)
         return upsample2x_bilinear(x)
 
@@ -207,11 +216,16 @@ class AdaptiveOutput(nn.Module):
 
     dtype: Any = jnp.bfloat16
     bn_fold: bool = False
+    # quant: conv0 goes int8; conv1/conv2 (the 1-channel head pair) stay
+    # bf16 for output quality, mirroring SkipConcatDecoder's head policy
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool, pixels=None):
-        x = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv0")(x)
-        if not self.bn_fold:
+        from pldepth_tpu.models.quantize import make_conv
+
+        x = make_conv(self.quant, self.dtype, 64, (3, 3), "conv0")(x)
+        if not (self.bn_fold or self.quant):
             x = _bn("bn0", train)(x).astype(self.dtype)
         x = nn.relu(x)
         x = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x)
@@ -230,17 +244,19 @@ class ReDWebDecoder(nn.Module):
     fusion_ch: Sequence[int] = (256, 128, 64)
     dtype: Any = jnp.bfloat16
     bn_fold: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, c5, taps, train: bool = False, pixels=None):
-        if self.bn_fold and train:
+        if (self.bn_fold or self.quant) and train:
             raise ValueError("bn_fold is an inference-only mode (train=False)")
         x = upsample2x_bilinear(c5)  # 1/32 -> 1/16
         for i, name in enumerate(("fusion0", "fusion1", "fusion2")):
             x = FeatureFusion(
                 self.fusion_ch[i], dtype=self.dtype, bn_fold=self.bn_fold,
-                name=name,
+                quant=self.quant, name=name,
             )(taps[("c4_mid", "c3", "c2")[i]], x, train)  # 1/16->1/8->1/4->1/2
         return AdaptiveOutput(
-            dtype=self.dtype, bn_fold=self.bn_fold, name="output"
+            dtype=self.dtype, bn_fold=self.bn_fold, quant=self.quant,
+            name="output"
         )(x, train, pixels)  # -> 1/1

@@ -85,6 +85,8 @@ class ReDWebFullyFledged(nn.Module):
     asc_depth_order: bool = False
     remat: bool = False
     bn_fold: bool = False
+    # inference-only int8 serving / calibration (models/quantize.py)
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, pixels=None):
@@ -93,12 +95,14 @@ class ReDWebFullyFledged(nn.Module):
             if self.remat
             else ResNet50Encoder
         )
-        c5, taps = enc_cls(dtype=self.dtype, bn_fold=self.bn_fold, name="encoder")(
-            x, train
-        )
-        return ReDWebDecoder(dtype=self.dtype, bn_fold=self.bn_fold, name="decoder")(
-            c5, taps, train, pixels
-        )
+        c5, taps = enc_cls(
+            dtype=self.dtype, bn_fold=self.bn_fold, quant=self.quant,
+            name="encoder",
+        )(x, train)
+        return ReDWebDecoder(
+            dtype=self.dtype, bn_fold=self.bn_fold, quant=self.quant,
+            name="decoder",
+        )(c5, taps, train, pixels)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,7 +58,7 @@ class QuantConv(nn.Module):
     features: int
     kernel_size: Tuple[int, int]
     strides: int = 1
-    padding: str = "SAME"
+    padding: Any = "SAME"  # str or explicit ((lo, hi), (lo, hi))
     feature_group_count: int = 1
     calibrate: bool = False
     dtype: Any = jnp.bfloat16
@@ -155,7 +155,7 @@ class QuantConv(nn.Module):
 
 def make_conv(
     quant, dtype, features, kernel_size, name, *, strides=1, groups=1,
-    use_bias=True,
+    use_bias=True, padding="SAME",
 ):
     """Conv factory the model modules call at every quantization-eligible
     site: plain ``nn.Conv`` normally, :class:`QuantConv` under ``quant``
@@ -163,11 +163,11 @@ def make_conv(
     if quant:
         return QuantConv(
             features=features, kernel_size=tuple(kernel_size),
-            strides=strides, feature_group_count=groups,
+            strides=strides, padding=padding, feature_group_count=groups,
             calibrate=(quant == "calib"), dtype=dtype, name=name,
         )
     return nn.Conv(
-        features, tuple(kernel_size), strides=strides, padding="SAME",
+        features, tuple(kernel_size), strides=strides, padding=padding,
         use_bias=use_bias, feature_group_count=groups, dtype=dtype,
         name=name,
     )

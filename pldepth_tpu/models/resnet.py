@@ -39,34 +39,37 @@ class Bottleneck(nn.Module):
     projection: bool = False
     dtype: Any = jnp.bfloat16
     bn_fold: bool = False
+    # inference-only: int8 serving / calibration (models/quantize.py)
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        fold = self.bn_fold
+        from pldepth_tpu.models.quantize import make_conv
+
+        fold = self.bn_fold or bool(self.quant)
         shortcut = x
         if self.projection:
-            shortcut = nn.Conv(
-                4 * self.filters, (1, 1), strides=self.stride, use_bias=True,
-                dtype=self.dtype, name="proj_conv",
+            shortcut = make_conv(
+                self.quant, self.dtype, 4 * self.filters, (1, 1),
+                "proj_conv", strides=self.stride,
             )(x)
             if not fold:
                 shortcut = _bn("proj_bn", train)(shortcut).astype(self.dtype)
-        y = nn.Conv(
-            self.filters, (1, 1), strides=self.stride, use_bias=True,
-            dtype=self.dtype, name="conv1",
+        y = make_conv(
+            self.quant, self.dtype, self.filters, (1, 1), "conv1",
+            strides=self.stride,
         )(x)
         if not fold:
             y = _bn("bn1", train)(y).astype(self.dtype)
         y = nn.relu(y)
-        y = nn.Conv(
-            self.filters, (3, 3), padding="SAME", use_bias=True,
-            dtype=self.dtype, name="conv2",
+        y = make_conv(
+            self.quant, self.dtype, self.filters, (3, 3), "conv2"
         )(y)
         if not fold:
             y = _bn("bn2", train)(y).astype(self.dtype)
         y = nn.relu(y)
-        y = nn.Conv(
-            4 * self.filters, (1, 1), use_bias=True, dtype=self.dtype, name="conv3"
+        y = make_conv(
+            self.quant, self.dtype, 4 * self.filters, (1, 1), "conv3"
         )(y)
         if not fold:
             y = _bn("bn3", train)(y).astype(self.dtype)
@@ -82,17 +85,22 @@ class ResNet50Encoder(nn.Module):
     # reference taps conv4_block3_out => index 2 of stage 4.
     c4_tap_block: int = 2
     bn_fold: bool = False
+    # inference-only: int8 serving / calibration (models/quantize.py)
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.bn_fold and train:
+        from pldepth_tpu.models.quantize import make_conv
+
+        if (self.bn_fold or self.quant) and train:
             raise ValueError("bn_fold is an inference-only mode (train=False)")
+        fold = self.bn_fold or bool(self.quant)
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=2, padding=[(3, 3), (3, 3)], use_bias=True,
-            dtype=self.dtype, name="stem_conv",
+        x = make_conv(
+            self.quant, self.dtype, 64, (7, 7), "stem_conv", strides=2,
+            padding=((3, 3), (3, 3)),
         )(x)
-        if not self.bn_fold:
+        if not fold:
             x = _bn("stem_bn", train)(x).astype(self.dtype)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -108,6 +116,7 @@ class ResNet50Encoder(nn.Module):
                     projection=(i == 0),
                     dtype=self.dtype,
                     bn_fold=self.bn_fold,
+                    quant=self.quant,
                     name=f"stage{stage + 2}_block{i}",
                 )(x, train)
                 if stage == 2 and i == self.c4_tap_block:

@@ -626,13 +626,8 @@ class Trainer:
         them (weights come from ``state``, BN-folded then quantized
         per-channel). Returns the variables ``predict_quant`` expects.
         """
-        from pldepth_tpu.models.pldepth_net import EffNetFullyFledged
         from pldepth_tpu.models.quantize import quantize_variables
 
-        if not isinstance(self.model.module, EffNetFullyFledged):
-            raise NotImplementedError(
-                "int8 serving is implemented for the ff_effnet family"
-            )
         calib_module = self.model.module.clone(quant="calib")
         batches = (
             calib_images

@@ -83,7 +83,11 @@ def test_quant_serving_over_mesh(quant_setup):
     assert np.isfinite(p_q).all()
 
 
-def test_quant_rejects_non_effnet():
+@pytest.mark.slow
+def test_quant_redweb_family():
+    """int8 serving covers ff_redweb too (ResNet-50 + ReDWeb decoder; the
+    Keras-v1 eps 1.001e-5 fold path, biased convs, 7x7 explicit-pad stem).
+    slow: three ResNet-50 graph compiles on this 1-core host."""
     cfg = ExperimentConfig(
         model_name="ff_redweb", input_size=64, batch_size=2, ranking_size=3,
         rankings_per_image=4, sampling_type=1,
@@ -91,10 +95,19 @@ def test_quant_rejects_non_effnet():
     trainer = Trainer(
         cfg, steps_per_epoch=1, mesh=make_mesh(devices=jax.devices()[:1])
     )
-    with pytest.raises(NotImplementedError):
-        trainer.prepare_quant(
-            trainer.init_state(), np.zeros((2, 64, 64, 3), np.float32)
-        )
+    state = trainer.init_state()
+    rng = np.random.default_rng(0)
+    imgs = rng.random((2, 64, 64, 3), np.float32)
+    qvars = trainer.prepare_quant(state, imgs)
+    p_ref = np.asarray(
+        jax.device_get(trainer.predict_bnfold(state, imgs)), np.float32
+    )
+    p_q = np.asarray(
+        jax.device_get(trainer.predict_quant(qvars, imgs)), np.float32
+    )
+    assert np.isfinite(p_q).all()
+    corr = np.corrcoef(p_q.ravel(), p_ref.ravel())[0, 1]
+    assert corr > 0.98, f"int8 redweb decorrelates: pearson {corr}"
 
 
 def test_quant_matmul_kernel_exact():
