@@ -153,6 +153,7 @@ def main() -> None:
         remat_encoder=bool(int(os.environ.get("BENCH_REMAT", "0"))),
         sampler_draw_method=os.environ.get("BENCH_DRAW", "auto"),
         decoder_head_ch=int(os.environ.get("BENCH_HEAD_CH", "32")),
+        qres=os.environ.get("BENCH_QRES", ""),
     )
     trainer = Trainer(cfg, steps_per_epoch=1)
     state = trainer.init_state()

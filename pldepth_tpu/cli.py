@@ -87,6 +87,13 @@ def _reference_options(f):
                      help="collapse the final upsample+head conv into one "
                           "half-res phase conv (value-exact; +18% train "
                           "throughput at 448^2 — see docs/BENCH.md)"),
+        click.option("--qres", default="",
+                     type=click.Choice(["", "int8", "bf16"]),
+                     help="store the encoder's BN/swish backward residuals "
+                          "compressed (ops/qres.py). Forward numerics are "
+                          "unchanged; gradients carry the compression noise "
+                          "(bounded in tests/test_qres.py). ff_effnet "
+                          "family; measured verdict in docs/BENCH.md"),
         click.option("--decoder_head_ch", default=32, type=click.INT,
                      help="width of the last two skip-concat decoder stages "
                           "(ff_effnet). 32 = reference architecture; 128 "

@@ -115,6 +115,11 @@ class ExperimentConfig:
     # Measured slower at the headline config (docs/BENCH.md), so off by
     # default; useful for point-query serving and very large resolutions.
     sparse_tail: bool = False
+    # Compressed-residual training for the encoder's BN/swish chain
+    # (ops/qres.py): "" = off (exact), "int8" or "bf16" store the backward
+    # residual compressed. Forward numerics unchanged; gradients perturbed
+    # by the compression (tests/test_qres.py bounds). ff_effnet family.
+    qres: str = ""
     # Collapse the final upsample+head conv into one half-res phase conv
     # (ops/fused_tail.py) — value-equal to compute-dtype rounding; saves the
     # full-res 32-channel tensor and the 1-channel-conv lane waste.

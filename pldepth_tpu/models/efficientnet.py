@@ -72,6 +72,10 @@ def round_repeats(repeats: int, depth: float) -> int:
 class SqueezeExcite(nn.Module):
     reduce_ch: int
     dtype: Any = jnp.bfloat16
+    # "int8": the excitation multiply reads x from an int8 residual in
+    # backward (ops/qres.py mul_q8) — x is otherwise kept in bf16 solely
+    # for d(gate)
+    qres: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -81,7 +85,12 @@ class SqueezeExcite(nn.Module):
         )
         se = nn.swish(se)
         se = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(se)
-        return x * jax.nn.sigmoid(se.astype(jnp.float32)).astype(x.dtype)
+        gate = jax.nn.sigmoid(se.astype(jnp.float32)).astype(x.dtype)
+        if self.qres == "int8":
+            from pldepth_tpu.ops.qres import mul_q8
+
+            return mul_q8(x, gate)
+        return x * gate
 
 
 def _bn(name: str, train: bool):
@@ -97,6 +106,27 @@ def _bn(name: str, train: bool):
         use_fast_variance=False,
         name=name,
     )
+
+
+def _bn_act(qres, name, train, dtype, act):
+    """BN followed by an optional activation, as one callable.
+
+    Standard path: flax BatchNorm (above) then swish in compute dtype.
+    Under ``qres`` ("int8"/"bf16"): ops/qres.py FusedBNAct — same forward
+    math and the same param/batch_stats names (checkpoint-compatible), but
+    the backward residual is stored compressed.
+    """
+    if qres:
+        from pldepth_tpu.ops.qres import FusedBNAct
+
+        mod = FusedBNAct(act=act, store=qres, out_dtype=dtype, name=name)
+        return lambda x: mod(x, train)
+
+    def f(x):
+        y = _bn(name, train)(x).astype(dtype)
+        return nn.swish(y) if act == "swish" else y
+
+    return f
 
 
 class MBConv(nn.Module):
@@ -115,6 +145,8 @@ class MBConv(nn.Module):
     # inference-only: int8 convs ("int8") or calibration pass ("calib");
     # implies bn_fold trees (models/quantize.py)
     quant: Any = False
+    # compressed-residual training ("int8"/"bf16", ops/qres.py)
+    qres: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -129,8 +161,10 @@ class MBConv(nn.Module):
                 "expand_conv", use_bias=fold,
             )(x)
             if not fold:
-                x = _bn("expand_bn", train)(x).astype(self.dtype)
-            x = nn.swish(x)
+                x = _bn_act(self.qres, "expand_bn", train, self.dtype,
+                            "swish")(x)
+            else:
+                x = nn.swish(x)
             expand_act = x  # "blockXa_expand_activation" tap point
         k = self.kernel
         x = make_conv(
@@ -138,18 +172,20 @@ class MBConv(nn.Module):
             strides=self.stride, groups=x.shape[-1], use_bias=fold,
         )(x)
         if not fold:
-            x = _bn("dw_bn", train)(x).astype(self.dtype)
-        x = nn.swish(x)
+            x = _bn_act(self.qres, "dw_bn", train, self.dtype, "swish")(x)
+        else:
+            x = nn.swish(x)
         if self.se_ratio > 0:
             x = SqueezeExcite(
-                max(1, int(self.in_ch * self.se_ratio)), dtype=self.dtype, name="se"
+                max(1, int(self.in_ch * self.se_ratio)), dtype=self.dtype,
+                qres=self.qres, name="se"
             )(x)
         x = make_conv(
             self.quant, self.dtype, self.out_ch, (1, 1), "project_conv",
             use_bias=fold,
         )(x)
         if not fold:
-            x = _bn("project_bn", train)(x).astype(self.dtype)
+            x = _bn_act(self.qres, "project_bn", train, self.dtype, None)(x)
         if self.stride == 1 and self.in_ch == self.out_ch:
             if self.drop_rate > 0 and train:
                 keep = 1.0 - self.drop_rate
@@ -173,6 +209,8 @@ class EfficientNetEncoder(nn.Module):
     bn_fold: bool = False
     # inference-only: int8 serving / calibration (models/quantize.py)
     quant: Any = False
+    # compressed-residual training ("int8"/"bf16", ops/qres.py)
+    qres: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -189,8 +227,9 @@ class EfficientNetEncoder(nn.Module):
             "stem_conv", strides=2, use_bias=fold,
         )(x)
         if not fold:
-            x = _bn("stem_bn", train)(x).astype(self.dtype)
-        x = nn.swish(x)
+            x = _bn_act(self.qres, "stem_bn", train, self.dtype, "swish")(x)
+        else:
+            x = nn.swish(x)
 
         taps: Dict[str, jax.Array] = {}
         total_blocks = sum(round_repeats(r, depth) for (_, _, r, _, _) in _STAGE_DEFS)
@@ -213,6 +252,7 @@ class EfficientNetEncoder(nn.Module):
                     dtype=self.dtype,
                     bn_fold=self.bn_fold,
                     quant=self.quant,
+                    qres=self.qres,
                     name=f"stage{stage_num}_block{i}",
                 )
                 x, expand_act = blk(x, train)
@@ -226,6 +266,7 @@ class EfficientNetEncoder(nn.Module):
             "top_conv", use_bias=fold,
         )(x)
         if not fold:
-            x = _bn("top_bn", train)(x).astype(self.dtype)
-        x = nn.swish(x)
+            x = _bn_act(self.qres, "top_bn", train, self.dtype, "swish")(x)
+        else:
+            x = nn.swish(x)
         return x, taps

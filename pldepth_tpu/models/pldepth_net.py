@@ -52,6 +52,8 @@ class EffNetFullyFledged(nn.Module):
     # inference-only int8 serving ("int8") / calibration ("calib") mode
     # expecting models/quantize.py quantize_variables output
     quant: Any = False
+    # compressed-residual encoder training ("int8"/"bf16", ops/qres.py)
+    qres: Any = None
     # width of the decoder's last two stages; 32 = reference (see
     # core/config.py decoder_head_ch)
     head_ch: int = 32
@@ -69,6 +71,7 @@ class EffNetFullyFledged(nn.Module):
             drop_connect_rate=self.drop_connect_rate,
             bn_fold=self.bn_fold,
             quant=self.quant,
+            qres=self.qres,
             name="encoder",
         )(x, train)
         return SkipConcatDecoder(
@@ -123,11 +126,11 @@ class PLDepthModel:
 
 MODEL_REGISTRY: Dict[str, Callable[..., PLDepthModel]] = {
     "ff_effnet": lambda dtype=jnp.bfloat16, remat=False, fused_tail=True,
-    bn_fold=False, head_ch=32: PLDepthModel(
+    bn_fold=False, head_ch=32, qres=None: PLDepthModel(
         "ff_effnet",
         EffNetFullyFledged(
             variant="b0", dtype=dtype, remat=remat, fused_tail=fused_tail,
-            bn_fold=bn_fold, head_ch=head_ch,
+            bn_fold=bn_fold, head_ch=head_ch, qres=qres,
         ),
         "effnet",
     ),
@@ -135,18 +138,18 @@ MODEL_REGISTRY: Dict[str, Callable[..., PLDepthModel]] = {
     # topology, ~2% of B0's step FLOPs, compiles in seconds. Not a
     # reference model — for smoke tests and trainer-mechanics CI.
     "ff_smoke": lambda dtype=jnp.bfloat16, remat=False, fused_tail=True,
-    bn_fold=False, head_ch=32: PLDepthModel(
+    bn_fold=False, head_ch=32, qres=None: PLDepthModel(
         "ff_smoke",
         EffNetFullyFledged(
             variant="smoke", dtype=dtype, remat=remat, fused_tail=fused_tail,
-            bn_fold=bn_fold, head_ch=head_ch,
+            bn_fold=bn_fold, head_ch=head_ch, qres=qres,
         ),
         "effnet",
     ),
     # fused_tail / head_ch are EfficientNet-decoder-only; accepted and
     # ignored here so the registry call signature stays uniform
     "ff_redweb": lambda dtype=jnp.bfloat16, remat=False, fused_tail=True,
-    bn_fold=False, head_ch=32: PLDepthModel(
+    bn_fold=False, head_ch=32, qres=None: PLDepthModel(
         "ff_redweb",
         ReDWebFullyFledged(dtype=dtype, remat=remat, bn_fold=bn_fold),
         "caffe",
@@ -157,11 +160,11 @@ for _v in VARIANTS:
     if _v not in ("b0", "smoke"):
         MODEL_REGISTRY[f"ff_effnet_{_v}"] = (
             lambda dtype=jnp.bfloat16, remat=False, fused_tail=True,
-            bn_fold=False, head_ch=32, _v=_v: PLDepthModel(
+            bn_fold=False, head_ch=32, qres=None, _v=_v: PLDepthModel(
                 f"ff_effnet_{_v}",
                 EffNetFullyFledged(
                     variant=_v, dtype=dtype, remat=remat, fused_tail=fused_tail,
-                    bn_fold=bn_fold, head_ch=head_ch,
+                    bn_fold=bn_fold, head_ch=head_ch, qres=qres,
                 ),
                 "effnet",
             )
@@ -180,12 +183,15 @@ def get_model_type_by_name(model_name: str) -> str:
 def get_pl_depth_net(
     model_name: str, compute_dtype: str = "bfloat16", remat: bool = False,
     fused_tail: bool = True, bn_fold: bool = False, head_ch: int = 32,
+    qres=None,
 ) -> PLDepthModel:
     get_model_type_by_name(model_name)
     dtype = jnp.dtype(compute_dtype)
+    if qres and "redweb" in model_name:
+        raise ValueError("--qres is implemented for the ff_effnet family")
     return MODEL_REGISTRY[model_name](
         dtype=dtype, remat=remat, fused_tail=fused_tail, bn_fold=bn_fold,
-        head_ch=head_ch,
+        head_ch=head_ch, qres=qres,
     )
 
 

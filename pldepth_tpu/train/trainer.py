@@ -86,6 +86,7 @@ class Trainer:
         self.model = get_pl_depth_net(
             cfg.model_name, cfg.compute_dtype, remat=cfg.remat_encoder,
             fused_tail=cfg.fused_tail, head_ch=cfg.decoder_head_ch,
+            qres=cfg.qres or None,
         )
         self.sampler_name = sampler_name_for_type(cfg.sampling_type)
         get_sampler(self.sampler_name)
