@@ -817,6 +817,76 @@ def convert(weights, model_name, out):
 
 @cli.command()
 @_reference_options
+@click.option("--serve_batch", default=0, type=click.INT,
+              help="also warm the serving graphs (predict + bn_fold) at "
+                   "this batch size; 0 = training graphs only")
+def warmup(serve_batch, **kw):
+    """Pre-populate the persistent XLA compile cache for a config.
+
+    A cold 448^2 train-step compile costs minutes; the cache
+    (core/cache.py, shared by train/eval/serve/bench) makes every later
+    process at the same config start in seconds. Run this once per config
+    at deploy/CI time — or before a preemptible job's first start, so a
+    preemption-resume never pays the cold compile.
+    """
+    import time as _time
+
+    import jax as _jax
+    import numpy as _np
+
+    from pldepth_tpu.core.cache import enable_compilation_cache
+    from pldepth_tpu.train import Trainer
+
+    cache_dir = enable_compilation_cache()
+    cfg = _make_config(kw)
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = trainer.init_state()
+    shape = (cfg.batch_size, cfg.input_size, cfg.input_size)
+    batch = trainer.shard_batch({
+        "image": _np.zeros((*shape, 3), _np.float32),
+        "gt": _np.ones(shape, _np.float32),
+        "mask": _np.ones(shape, _np.float32),
+    })
+    timings = {}
+    t0 = _time.time()
+    trainer.train_step.lower(state, batch).compile()
+    timings["train_step_s"] = round(_time.time() - t0, 1)
+    if cfg.data_resident:
+        from pldepth_tpu.data import SyntheticDepthDataset, build_resident_store
+
+        store = build_resident_store(
+            SyntheticDepthDataset(
+                n=max(cfg.batch_size, 2), image_size=cfg.input_size, seed=0
+            ),
+            trainer.mesh,
+        )
+        t0 = _time.time()
+        # these execute (not just compile): the donated state is re-bound
+        if cfg.resident_chain_steps > 1:
+            state, _ = trainer.resident_chain(cfg.resident_chain_steps)(
+                state, store.arrays
+            )
+        else:
+            state, _ = trainer.resident_step(state, store.arrays)
+        _jax.block_until_ready(state)
+        timings["resident_s"] = round(_time.time() - t0, 1)
+    if serve_batch:
+        imgs = _np.zeros(
+            (serve_batch, cfg.input_size, cfg.input_size, 3), _np.float32
+        )
+        t0 = _time.time()
+        _jax.block_until_ready(trainer.jit_predict()(state, imgs))
+        timings["predict_s"] = round(_time.time() - t0, 1)
+        t0 = _time.time()
+        _jax.block_until_ready(
+            trainer.jit_predict(fused="bn_fold")(state, imgs)
+        )
+        timings["predict_bnfold_s"] = round(_time.time() - t0, 1)
+    click.echo(json.dumps({"cache_dir": cache_dir, **timings}))
+
+
+@cli.command()
+@_reference_options
 @click.option("--num_runs", default=8, type=click.INT)
 @click.option("--search", default="random",
               type=click.Choice(["random", "grid", "tpe", "wandb"]))

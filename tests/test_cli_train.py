@@ -149,3 +149,21 @@ def test_predict_loads_nondefault_decoder_head_ch(tmp_path):
     assert res.exit_code == 0, res.output
     d = np.load(os.path.join(out_dir, "a_depth.npy"))
     assert d.shape == (S, S) and np.isfinite(d).all()
+
+
+def test_warmup_cli(tmp_path, monkeypatch):
+    """cli warmup: compiles the config's graphs into the persistent cache
+    and reports per-graph timings; a second run must hit the cache."""
+    monkeypatch.setenv("PLDEPTH_JAX_CACHE", str(tmp_path / "cache"))
+    args = [
+        "warmup", "--model_name", "ff_smoke", "--dataset", "synthetic",
+        "--input_size", str(S), "--batch_size", "8", "--ranking_size", "3",
+        "--rankings_per_image", "4", "--compute_dtype", "float32",
+        "--data_resident", "true", "--resident_chain_steps", "2",
+        "--serve_batch", "8",
+    ]
+    out = json.loads(_invoke(args).strip().splitlines()[-1])
+    assert out["cache_dir"] == str(tmp_path / "cache")
+    for k in ("train_step_s", "resident_s", "predict_s", "predict_bnfold_s"):
+        assert k in out, out
+    assert os.listdir(tmp_path / "cache"), "no cache entries written"
