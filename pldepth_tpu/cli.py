@@ -607,13 +607,20 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
 
     chunks = [files[s : s + batch_size] for s in range(0, len(files), batch_size)]
     write = depth_writer(out_dir, save_png, unique_stems(files))
+    calib = None
     if mode == "quant":
         # activation scales calibrate on the first real input chunk
         calib = pad_to_batch(decode_image_chunk(chunks[0], input_size), batch_size)
         state = trainer.prepare_quant(state, calib)
+
+    def _decode(chunk):
+        if calib is not None and chunk is chunks[0]:
+            return calib  # already decoded for calibration
+        return pad_to_batch(decode_image_chunk(chunk, input_size), batch_size)
+
     run_pipeline(
         chunks,
-        lambda chunk: pad_to_batch(decode_image_chunk(chunk, input_size), batch_size),
+        _decode,
         lambda imgs: predict_fn(state, imgs),
         write,
     )
@@ -871,6 +878,11 @@ def warmup(serve_batch, **kw):
         _jax.block_until_ready(state)
         timings["resident_s"] = round(_time.time() - t0, 1)
     if serve_batch:
+        # mirror predict/serve: the dispatched batch is rounded up to the
+        # mesh's data axis, so the warmed graph is the one they will hit
+        from pldepth_tpu.core.mesh import round_batch
+
+        serve_batch = round_batch(serve_batch, trainer.mesh)
         imgs = _np.zeros(
             (serve_batch, cfg.input_size, cfg.input_size, 3), _np.float32
         )
