@@ -692,13 +692,27 @@ def serve(model_name, load_model_path, artifact, watch_dir, out_dir,
         mode = Trainer.serving_mode(fused_encoder, bn_fold, quantize)
         predict_fn = trainer.jit_predict(fused=mode)
         if mode == "quant":
-            # lazy calibration: scales come from the first dispatched batch
-            # (the daemon may start on an empty watch dir)
-            qcache = {}
+            # Lazy calibration (the daemon may start on an empty watch
+            # dir), accumulated over the first N dispatched batches: a
+            # single unrepresentative first batch (e.g. one image padded
+            # with zeros) would otherwise pin the activation scales for
+            # the daemon's lifetime. prepare_quant re-runs are cheap and
+            # amax only grows, so predictions can only get better-scaled;
+            # each recalibration is logged with the batch count it used.
+            n_calib_target = 8
+            qcache = {"batches": [], "qv": None}
 
             def infer(imgs):
-                if "qv" not in qcache:
-                    qcache["qv"] = trainer.prepare_quant(state, imgs)
+                if len(qcache["batches"]) < n_calib_target:
+                    qcache["batches"].append(np.asarray(imgs))
+                    qcache["qv"] = trainer.prepare_quant(
+                        state, qcache["batches"]
+                    )
+                    log.info(
+                        "int8 activation scales calibrated on %d/%d "
+                        "dispatched batch(es)",
+                        len(qcache["batches"]), n_calib_target,
+                    )
                 return predict_fn(qcache["qv"], imgs)
 
         else:

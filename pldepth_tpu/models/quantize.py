@@ -104,6 +104,12 @@ class QuantConv(nn.Module):
         # tensors materialize around every int32 conv output) — the bf16
         # epilogue is what makes int8 serving a net win. docs/BENCH.md.
         inv = (1.0 / a_scale).astype(self.dtype)
+        # Dequantize with the *same* bf16-rounded reciprocal used to
+        # quantize (1/inv), not the f32 a_scale: the two differ by bf16
+        # rounding (~0.4% systematic scale error on top of the intended
+        # int8 rounding) — with a_eff the only remaining error is int8
+        # rounding itself.
+        a_eff = 1.0 / inv.astype(jnp.float32)
         q = jnp.clip(
             jnp.round(x.astype(self.dtype) * inv), -127, 127
         ).astype(jnp.int8)
@@ -114,7 +120,7 @@ class QuantConv(nn.Module):
             out2d = quant_matmul(
                 q.reshape(b * h * w_, c),
                 kernel_q.reshape(c, self.features),
-                w_scale, bias, a_scale, out_dtype=self.dtype,
+                w_scale, bias, a_eff, out_dtype=self.dtype,
             )
             return out2d.reshape(b, h, w_, self.features)
         y = lax.conv_general_dilated(
@@ -123,7 +129,7 @@ class QuantConv(nn.Module):
             feature_group_count=self.feature_group_count,
             preferred_element_type=jnp.int32,
         )
-        out = y.astype(self.dtype) * (a_scale * w_scale).astype(self.dtype)
+        out = y.astype(self.dtype) * (a_eff * w_scale).astype(self.dtype)
         return out + bias.astype(self.dtype)
 
     def _use_pallas(self, q) -> bool:

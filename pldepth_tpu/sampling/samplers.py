@@ -49,6 +49,30 @@ from pldepth_tpu.sampling.relations import depth_relation
 
 _EQUALITY_PENALTY = -1000.0
 
+# draw_method="auto" switches hier -> packed above this many points/image
+# (hier gathers ~1 KB/point; packed sorts O(HW) once + 4 B/point). See
+# resolve_draw_method for the derivation and docs/BENCH.md for the
+# on-chip measurements behind the value.
+_HIER_AUTO_MAX_POINTS = 32768
+
+
+def resolve_draw_method(method: str, n_points: int) -> str:
+    """Resolve draw_method="auto" by per-image point count.
+
+    hier's (points, 512) int16 within-chunk gather is ~1 KB/point *per
+    image inside a vmapped step*: at the sweep-extreme K=500, RPI=100,
+    oversample x5 (reference hyperopt/hyperparams.py:44) that is 250k
+    points -> 256 MB/image -> an HBM cliff at any real batch size. packed's
+    cost is one O(HW) sort per image + 4 B/point, so it wins (and fits)
+    once the point count is large; hier wins while the gather is small
+    (full-step-measured at K<=25, docs/BENCH.md). Draws are bit-identical
+    between the two for the same key, so the switch never changes sampling
+    semantics — only memory/speed.
+    """
+    if method != "auto":
+        return method
+    return "hier" if n_points <= _HIER_AUTO_MAX_POINTS else "packed"
+
 
 @dataclasses.dataclass(frozen=True)
 class SamplerSpec:
@@ -123,8 +147,7 @@ def _masked_uniform_points(key, mask_flat, n_points, method: str = "auto"):
     hw = mask_flat.shape[0]
     valid = mask_flat > 0
     valid = jnp.where(jnp.any(valid), valid, jnp.ones_like(valid))
-    if method == "auto":
-        method = "hier"
+    method = resolve_draw_method(method, n_points)
 
     if method == "hier":
         # Hierarchical rank lookup: the draw is "the g-th valid pixel in

@@ -665,6 +665,12 @@ class Trainer:
         it supersedes (not composes with) the XLA-graph bn_fold default.
         Returns the value ``jit_predict(fused=...)`` expects."""
         if quantize == "int8":
+            if fused_encoder:
+                log.warning(
+                    "--quantize int8 supersedes --fused_encoder: the int8 "
+                    "graph quantizes the XLA BN-folded convs; the fused "
+                    "Pallas encoder flag is ignored"
+                )
             return "quant"
         return True if fused_encoder else ("bn_fold" if bn_fold else False)
 
