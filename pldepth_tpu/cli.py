@@ -554,10 +554,13 @@ def active(rounds, split_num, sigma, pretrain_epochs, **kw):
                    "(models/bn_fold.py; exact to compute-dtype rounding; "
                    "-10.4%% serving time @448^2, docs/BENCH.md). "
                    "--fused_encoder takes precedence (it folds BN itself)")
-@click.option("--quantize", default="", type=click.Choice(["", "int8"]),
+@click.option("--quantize", default="auto",
+              type=click.Choice(["auto", "", "int8"]),
               help="int8 post-training quantization for serving "
-                   "(models/quantize.py; +7%% over bn_fold @448^2, "
-                   "docs/BENCH.md). Activation scales calibrate on the "
+                   "(models/quantize.py; +7%% over bn_fold @448^2, metric "
+                   "gate table in docs/BENCH.md). Default 'auto' = int8 "
+                   "unless --fused_encoder/--bn_fold override; '' = float "
+                   "bn_fold graph. Activation scales calibrate on the "
                    "first input batch")
 def predict(model_name, load_model_path, inputs, out_dir, input_size,
             batch_size, save_png, fused_encoder, bn_fold, quantize):
@@ -645,9 +648,12 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
 @click.option("--bn_fold", default=True, type=click.BOOL,
               help="serving default: BN folded into biased convs "
                    "(models/bn_fold.py; checkpoint source only)")
-@click.option("--quantize", default="", type=click.Choice(["", "int8"]),
+@click.option("--quantize", default="auto",
+              type=click.Choice(["auto", "", "int8"]),
               help="int8 serving (models/quantize.py; checkpoint source "
-                   "only). Scales calibrate on the first dispatched batch")
+                   "only). Default 'auto' = int8 unless --fused_encoder/"
+                   "--bn_fold override; '' = float bn_fold graph. Scales "
+                   "calibrate over the first dispatched batches")
 def serve(model_name, load_model_path, artifact, watch_dir, out_dir,
           input_size, batch_size, save_png, poll_interval, once,
           fused_encoder, bn_fold, quantize):

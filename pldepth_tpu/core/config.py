@@ -193,7 +193,9 @@ class ExperimentConfig:
 
     @classmethod
     def from_dict(cls, d: Mapping[str, Any]) -> "ExperimentConfig":
-        d = dict(d)
+        # underscore-prefixed keys are comments (JSON has none; the
+        # checked-in configs use "_comment" for provenance notes)
+        d = {k: v for k, v in d.items() if not k.startswith("_")}
         mesh = d.pop("mesh", None)
         known = {f.name for f in dataclasses.fields(cls)}
         unknown = set(d) - known

@@ -22,9 +22,12 @@ Scheme — symmetric, static, per-channel weights / per-tensor activations:
   (``preferred_element_type=int32``).
 * Kept in float/bf16: squeeze-excite (tiny 1x1s on pooled vectors), the
   1-channel head conv (output quality; it reads only the 1/2-res 32-ch
-  tensor), swish/relu/sigmoid epilogues (f32/bf16), and the bilinear
-  upsamples. The quantize(round/clip) op fuses into the producing epilogue
-  under XLA, so inter-conv tensors cross HBM as int8.
+  tensor), swish/relu/sigmoid epilogues (f32/bf16), the bilinear
+  upsamples, and — since round 4 — *depthwise activations* (int8 weights,
+  bf16 conv: XLA TPU miscompiles fused depthwise int8 convs and the safe
+  int32 barrier costs -31%; see the grouped-conv branch in QuantConv).
+  The quantize(round/clip) op fuses into the producing epilogue under
+  XLA, so inter-conv tensors cross HBM as int8.
 
 Flow: ``quantize_variables(variables, model_name, calib_module, calib_fn)``
 folds BN, packs each targeted conv into ``{kernel_q, w_scale, bias,
@@ -104,6 +107,30 @@ class QuantConv(nn.Module):
         # tensors materialize around every int32 conv output) — the bf16
         # epilogue is what makes int8 serving a net win. docs/BENCH.md.
         inv = (1.0 / a_scale).astype(self.dtype)
+        if self.feature_group_count > 1:
+            # Depthwise sites run int8-WEIGHT / bf16-activation. Two
+            # reasons (round-4 metric gate, 2026-08-21):
+            # 1. XLA TPU miscompiles depthwise int8 convs when the
+            #    int32->bf16 convert + scale multiply fuses into the conv
+            #    (float-accumulation emitter emits NaN/garbage; fires
+            #    context-dependently — full model broken at 448^2, fine at
+            #    64/224; standalone broken at every size; CPU always fine;
+            #    tools/probe_qconv_sizes.py reproduces). It collapsed the
+            #    trained 448^2 model to pearson 0.002 vs float.
+            # 2. The safe workaround (optimization_barrier on the int32
+            #    result) materializes a full-res int32 tensor and measured
+            #    670.6 img/s vs 971.8 bn_fold (-31%). The bf16 depthwise
+            #    keeps the serving win (measured back-to-back post-fix,
+            #    docs/BENCH.md) and removes dw activation-quant error
+            #    entirely; dw FLOPs are trivial, so only its input-read
+            #    bytes (2B vs 1B) are paid.
+            w = (kernel_q.astype(jnp.float32) * w_scale).astype(self.dtype)
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype), w, strides, self.padding,
+                dimension_numbers=dn,
+                feature_group_count=self.feature_group_count,
+            )
+            return y + bias.astype(self.dtype)
         # Dequantize with the *same* bf16-rounded reciprocal used to
         # quantize (1/inv), not the f32 a_scale: the two differ by bf16
         # rounding (~0.4% systematic scale error on top of the intended

@@ -658,11 +658,18 @@ class Trainer:
         return pred[..., 0] if pred.ndim == 4 else pred
 
     @staticmethod
-    def serving_mode(fused_encoder: bool, bn_fold: bool, quantize: str = ""):
-        """The one precedence policy for the serving CLI flags: explicit
-        ``--quantize int8`` wins (it builds on the BN-fold internally);
-        otherwise the fused Pallas encoder folds BN inside its kernels, so
-        it supersedes (not composes with) the XLA-graph bn_fold default.
+    def serving_mode(fused_encoder: bool, bn_fold: bool, quantize: str = "auto"):
+        """The one precedence policy for the serving CLI flags.
+
+        ``quantize="auto"`` (the CLI default since round 4) serves int8 —
+        the fastest graph that passes the metric gate (+7.4% over bn_fold
+        at 448^2; quality loss <= 0.0004 ordinal error on both model
+        families, docs/BENCH.md "int8 metric gate") — unless the user
+        explicitly asked for another graph (``--fused_encoder true`` or
+        ``--bn_fold false``), which auto respects. Explicit
+        ``--quantize int8`` wins over everything (it builds on the BN-fold
+        internally); the fused Pallas encoder folds BN inside its kernels,
+        so it supersedes (not composes with) the XLA-graph bn_fold.
         Returns the value ``jit_predict(fused=...)`` expects."""
         if quantize == "int8":
             if fused_encoder:
@@ -671,6 +678,8 @@ class Trainer:
                     "graph quantizes the XLA BN-folded convs; the fused "
                     "Pallas encoder flag is ignored"
                 )
+            return "quant"
+        if quantize == "auto" and not fused_encoder and bn_fold:
             return "quant"
         return True if fused_encoder else ("bn_fold" if bn_fold else False)
 

@@ -30,16 +30,21 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Gate budget: int8 serving becomes the default only if ALL deltas stay
-# inside these (VERDICT r03 asked for a stated budget; ordinal-error's is
-# the one it named). Edge metrics are Canny-threshold-sensitive and noisier
-# per image, hence the looser bar.
+# Gate budget: int8 serving becomes the default only if the QUALITY LOSS
+# on every metric stays inside these (VERDICT r03 asked for a stated
+# budget; ordinal-error's is the one it named). The gate is directional —
+# an int8 result *better* than float passes at any magnitude (observed:
+# ff_redweb WHDR -0.0033, an improvement). Edge metrics are
+# Canny-threshold-sensitive and noisier per image, hence the looser bar.
+# Orientation: +1 = higher is worse (error rates), -1 = higher is better.
 BUDGET = {
-    "ordinal_error": 0.002,
-    "whdr_003": 0.002,
-    "ndcg_200": 0.005,
-    "edge_boundary": 0.02,
-    "edge_completeness": 0.02,
+    "ordinal_error": (0.002, +1),
+    "whdr_003": (0.002, +1),
+    "ndcg_200": (0.005, -1),
+    # the reference edge metric scores aligned edges ~1, displaced ~0
+    # (eval/metrics.py depth_edge_metric quirk note) -> higher is better
+    "edge_boundary": (0.02, -1),
+    "edge_completeness": (0.02, -1),
 }
 
 
@@ -82,6 +87,9 @@ def main():
     ap.add_argument("--size", type=int, default=448)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="")
+    ap.add_argument("--save_weights", default="",
+                    help="with 'train': save the trained weights here for "
+                         "later reuse")
     args = ap.parse_args()
 
     import jax
@@ -100,6 +108,11 @@ def main():
         trainer, state = _train(
             dict(model_name=args.model, input_size=args.size)
         )
+        if args.save_weights:
+            from pldepth_tpu.train.checkpoint import save_weights_npz
+
+            save_weights_npz(args.save_weights, state)
+            print(f"# trained weights saved to {args.save_weights}")
     else:
         from pldepth_tpu.train.checkpoint import load_weights_npz
 
@@ -149,19 +162,32 @@ def main():
     result = {"model": args.model, "size": args.size, "n_images": n,
               "weights": args.weights, "metrics": {}, "pass": True}
     for metric in BUDGET:
-        mf = float(np.mean([r[metric] for r in rows["float"]]))
-        mq = float(np.mean([r[metric] for r in rows["int8"]]))
+        # Edge metrics are NaN on images where auto-Canny finds no edges in
+        # one of the maps (0/0 in the reference formula, metrics.py:123-144;
+        # common on smooth synthetic depth). Pair-exclude those images —
+        # the DELTA between graphs is what is gated, so both sides must be
+        # defined on the same image set.
+        vf = np.array([r[metric] for r in rows["float"]], np.float64)
+        vq = np.array([r[metric] for r in rows["int8"]], np.float64)
+        valid = np.isfinite(vf) & np.isfinite(vq)
+        n_valid = int(valid.sum())
+        if n_valid == 0:
+            result["metrics"][metric] = {"n_valid": 0, "pass": True,
+                                         "note": "no valid images"}
+            continue
+        mf = float(vf[valid].mean())
+        mq = float(vq[valid].mean())
         delta = mq - mf
-        # paired per-image deltas: tighter than the difference of means
-        per_img = np.array(
-            [rq[metric] - rf[metric]
-             for rq, rf in zip(rows["int8"], rows["float"])]
-        )
-        ok = abs(delta) <= BUDGET[metric]
+        per_img = vq[valid] - vf[valid]  # paired per-image deltas
+        budget, orient = BUDGET[metric]
+        quality_loss = delta * orient  # positive = int8 is worse
+        ok = quality_loss <= budget
         result["metrics"][metric] = {
             "float": round(mf, 5), "int8": round(mq, 5),
-            "delta": round(delta, 5), "budget": BUDGET[metric],
+            "delta": round(delta, 5),
+            "quality_loss": round(quality_loss, 5), "budget": budget,
             "delta_abs_p95": round(float(np.percentile(np.abs(per_img), 95)), 5),
+            "n_valid": n_valid,
             "pass": ok,
         }
         result["pass"] = result["pass"] and ok
