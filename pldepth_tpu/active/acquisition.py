@@ -19,6 +19,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Tuple
 
@@ -101,6 +102,114 @@ def tile_hausdorff(
     return dist.astype(np.float32), pts
 
 
+@functools.lru_cache(maxsize=8)
+def _device_hausdorff_fn(split: int, h: int, w: int):
+    """Jitted batched tile-Hausdorff: (B, H, W) edge-map pairs -> per-tile
+    distance + witness. Same values as :func:`tile_hausdorff` (gated by
+    tests/test_active.py::test_device_hausdorff_matches_numpy); the masked
+    (T, t^2, t^2) min/max reductions are pure VPU work, so on TPU the whole
+    predict batch costs ~a millisecond where the numpy version costs
+    ~0.2-0.7 s *per image* on this host (docs/BENCH.md "Active learning").
+    """
+    import jax
+    import jax.numpy as jnp
+
+    th, tw = h // split, w // split
+    t2 = th * tw
+    n_tiles = split * split
+    rr, cc = np.divmod(np.arange(t2), tw)
+    d_const = np.hypot(rr[:, None] - rr[None, :], cc[:, None] - cc[None, :]).astype(
+        np.float32
+    )
+    big = np.float32(1e9)
+    diag = np.float32(math.hypot(th, tw))
+    center = np.int32((th // 2) * tw + tw // 2)
+    tile_r, tile_c = np.divmod(np.arange(n_tiles), split)
+
+    def one(in_edges, pred_edges):
+        d = jnp.asarray(d_const)
+        a = _tileize_jnp(in_edges, split, th, tw) > 0  # (T, t2)
+        b = _tileize_jnp(pred_edges, split, th, tw) > 0
+
+        d_ab = jnp.where(b[:, None, :], d[None, :, :], big).min(axis=2)
+        d_ab = jnp.where(a, d_ab, -1.0)
+        d_ba = jnp.where(a[:, None, :], d[None, :, :], big).min(axis=2)
+        d_ba = jnp.where(b, d_ba, -1.0)
+
+        h_ab = d_ab.max(axis=1)
+        h_ba = d_ba.max(axis=1)
+        hd = jnp.maximum(h_ab, h_ba)
+
+        a_star = jnp.argmax(d_ab, axis=1)
+        b_star = jnp.argmax(d_ba, axis=1)
+        d_rows = jnp.where(a, d[b_star], big)
+        a_near_b = jnp.argmin(d_rows, axis=1)
+        witness = jnp.where(h_ab >= h_ba, a_star, a_near_b)
+
+        empty_a = ~a.any(axis=1)
+        empty_b = ~b.any(axis=1)
+        both_valid = ~(empty_a | empty_b)
+        dist = jnp.where(both_valid, hd, diag)
+        first_a = jnp.where(a.any(axis=1), jnp.argmax(a, axis=1), center)
+        witness = jnp.where(
+            both_valid, witness, jnp.where(empty_a, center, first_a)
+        ).astype(jnp.int32)
+
+        wr = jnp.asarray(tile_r, jnp.int32) * th + witness // tw
+        wc = jnp.asarray(tile_c, jnp.int32) * tw + witness % tw
+        return dist.astype(jnp.float32), jnp.stack([wr, wc], axis=1)
+
+    def batched(in_edges, pred_edges):
+        # lax.map (not vmap): bounds the (T, t^2, t^2) transient to one
+        # image at a time (~160 MB at 448^2/split 32) instead of B of them.
+        return jax.lax.map(lambda ab: one(*ab), (in_edges, pred_edges))
+
+    return jax.jit(batched)
+
+
+def _tileize_jnp(edges, split, th, tw):
+    import jax.numpy as jnp
+
+    tiles = edges[: th * split, : tw * split].reshape(split, th, split, tw)
+    return jnp.transpose(tiles, (0, 2, 1, 3)).reshape(split * split, th * tw)
+
+
+def tile_hausdorff_batch(
+    in_edges: np.ndarray, pred_edges: np.ndarray, split: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched, device-side :func:`tile_hausdorff`.
+
+    ``in_edges``/``pred_edges``: (B, H, W) uint8 edge maps. Returns
+    (dist (B, T) f32, pts (B, T, 2) int — absolute row/col witnesses),
+    numerically identical to the per-image numpy path.
+    """
+    b, h, w = in_edges.shape
+    fn = _device_hausdorff_fn(split, h, w)
+    dist, pts = fn(np.ascontiguousarray(in_edges), np.ascontiguousarray(pred_edges))
+    return np.asarray(dist), np.asarray(pts).astype(np.int64)
+
+
+def input_edge_map(image: np.ndarray) -> np.ndarray:
+    """Canny edges of the input image (reference preprocessing chain:
+    gray -> minmax -> medianBlur(15) -> auto-Canny)."""
+    if cv2 is None:  # pragma: no cover
+        raise RuntimeError("active learning acquisition requires OpenCV")
+    gray = cv2.cvtColor((image * 255).astype(np.uint8), cv2.COLOR_RGB2GRAY)
+    gray = _minmax(gray.astype(np.float32), 0, 255).astype(np.uint8)
+    gray = cv2.medianBlur(gray, 15)
+    return auto_canny(gray)
+
+
+def pred_edge_map(pred: np.ndarray, sigma: float = 1.8) -> np.ndarray:
+    """Canny edges of the predicted depth (minmax -> unsharp -> auto-Canny)."""
+    if cv2 is None:  # pragma: no cover
+        raise RuntimeError("active learning acquisition requires OpenCV")
+    pred_u8 = _minmax(np.squeeze(pred).astype(np.float32), 0, 255)
+    blurred = cv2.GaussianBlur(pred_u8, (5, 5), 1.0)
+    sharp = np.clip(4.0 * pred_u8 - 3.0 * blurred, 0, 255).round().astype(np.uint8)
+    return auto_canny(sharp, sigma=sigma)
+
+
 def acquire_pixels(
     image: np.ndarray,
     pred: np.ndarray,
@@ -113,18 +222,9 @@ def acquire_pixels(
     input: gray -> minmax -> medianBlur(15) -> auto-Canny; prediction:
     minmax -> unsharp mask -> auto-Canny(sigma).
     """
-    if cv2 is None:  # pragma: no cover
-        raise RuntimeError("active learning acquisition requires OpenCV")
     h, w = image.shape[:2]
-    gray = cv2.cvtColor((image * 255).astype(np.uint8), cv2.COLOR_RGB2GRAY)
-    gray = _minmax(gray.astype(np.float32), 0, 255).astype(np.uint8)
-    gray = cv2.medianBlur(gray, 15)
-    in_edges = auto_canny(gray)
-
-    pred_u8 = _minmax(np.squeeze(pred).astype(np.float32), 0, 255)
-    blurred = cv2.GaussianBlur(pred_u8, (5, 5), 1.0)
-    sharp = np.clip(4.0 * pred_u8 - 3.0 * blurred, 0, 255).round().astype(np.uint8)
-    pred_edges = auto_canny(sharp, sigma=sigma)
+    in_edges = input_edge_map(image)
+    pred_edges = pred_edge_map(pred, sigma)
 
     dist, pts = tile_hausdorff(in_edges, pred_edges, split)
     order = np.argsort(dist)  # ascending, as the reference sorts (:51)

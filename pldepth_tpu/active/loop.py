@@ -14,10 +14,51 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
-from pldepth_tpu.active.acquisition import acquire_pixels, oracle_label
+from pldepth_tpu.active.acquisition import (
+    input_edge_map,
+    oracle_label,
+    pred_edge_map,
+    tile_hausdorff_batch,
+)
 from pldepth_tpu.data.datasets import DepthDataset
 
 log = logging.getLogger(__name__)
+
+
+def _stream_batches(trainer, state, ds, predict_batch):
+    """Yield (rows, items, preds_device) per predict batch, images uploaded
+    from host. Dispatches are async — the caller prefetches one batch ahead
+    so the device forward overlaps the host-side Canny work (the reference
+    blocked per image, active_learning_method.py:101)."""
+    from pldepth_tpu.core.mesh import pad_to_batch
+
+    predict = trainer.jit_predict()
+    n = len(ds)
+    for start in range(0, n, predict_batch):
+        rows = list(range(start, min(start + predict_batch, n)))
+        items = [ds[i] for i in rows]
+        imgs = np.stack([s["image"] for s in items])
+        yield rows, items, predict(state, pad_to_batch(imgs, predict_batch))
+
+
+def _resident_batches(trainer, state, ds, store, predict_batch):
+    """Yield (rows, items, preds_device) with the forward reading images
+    straight out of the HBM-resident store — zero per-batch host→device
+    traffic (only predictions come back). Row order is device-major over the
+    store's data-axis shards; tail batches overlap already-covered rows
+    (the caller dedupes)."""
+    d = trainer.mesh.axis_names[0]
+    dsize = trainer.mesh.shape[d]
+    n_local = store.n // dsize
+    bl = max(1, min(predict_batch // dsize, n_local))
+    predict_r = trainer.jit_predict_resident(bl)
+    starts = list(range(0, n_local - bl + 1, bl))
+    if starts[-1] + bl < n_local:
+        starts.append(n_local - bl)  # overlapping tail
+    for start in starts:
+        rows = [k * n_local + start + j for k in range(dsize) for j in range(bl)]
+        items = [ds[i] for i in rows]
+        yield rows, items, predict_r(state, store.arrays["image"], start)
 
 
 def active_learning_round(
@@ -29,31 +70,51 @@ def active_learning_round(
     sigma: float = 1.8,
     seed: int = 0,
     predict_batch: int = 8,
+    store=None,
 ):
     """Acquire + oracle-label the whole pool -> arrays for fixed-ranking fit.
 
+    ``store``: optional ResidentStore holding the pool — predictions then
+    read images from HBM instead of re-uploading them every batch.
     Returns (images (N,H,W,3), rankings (N, L, K, 2), stats dict).
     """
-    from pldepth_tpu.core.mesh import pad_to_batch, round_batch
+    from pldepth_tpu.core.mesh import round_batch
 
     k = trainer.cfg.ranking_size
     rng = np.random.default_rng(seed)
-    images, rankings, means, variances = [], [], [], []
-    predict = trainer.jit_predict()  # data-parallel over the trainer's mesh
+    by_row = {}  # row -> (image, lists, mean, var); rows may arrive out of order
     predict_batch = round_batch(predict_batch, trainer.mesh)
 
-    n = len(ds)
-    for start in range(0, n, predict_batch):
-        items = [ds[i] for i in range(start, min(start + predict_batch, n))]
-        imgs = np.stack([s["image"] for s in items])
-        preds = np.asarray(predict(state, pad_to_batch(imgs, predict_batch)))
-        for j, s in enumerate(items):
-            pos, pts, m, v = acquire_pixels(s["image"], preds[j], split, sigma)
+    if store is not None:
+        gen = _resident_batches(trainer, state, ds, store, predict_batch)
+    else:
+        gen = _stream_batches(trainer, state, ds, predict_batch)
+
+    pending = next(gen)
+    while pending is not None:
+        rows, items, preds_dev = pending
+        pending = next(gen, None)  # async-dispatch the next batch first
+        # host Canny on the inputs runs while the device computes
+        keep = [j for j, r in enumerate(rows) if r not in by_row]
+        in_edges = np.stack([input_edge_map(items[j]["image"]) for j in keep])
+        preds = np.asarray(preds_dev)  # sync this batch only
+        pred_edges = np.stack([pred_edge_map(preds[j], sigma) for j in keep])
+        # one device call per batch replaces the numpy per-image/per-tile
+        # Hausdorff (the dominant host cost — docs/BENCH.md "Active learning")
+        dist_b, pts_b = tile_hausdorff_batch(in_edges, pred_edges, split)
+        for jj, j in enumerate(keep):
+            s = items[j]
+            dist, pts = dist_b[jj], pts_b[jj]
             lists = oracle_label(s["gt"], pts, k, rng)
-            images.append(s["image"])
-            rankings.append(lists)
-            means.append(m)
-            variances.append(v)
+            by_row[rows[j]] = (
+                s["image"], lists, float(dist.mean()), float(dist.var())
+            )
+
+    ordered = [by_row[r] for r in sorted(by_row)]
+    images = [t[0] for t in ordered]
+    rankings = [t[1] for t in ordered]
+    means = [t[2] for t in ordered]
+    variances = [t[3] for t in ordered]
 
     stats = {
         "avg_hd_mean": float(np.mean(means)),
@@ -97,6 +158,7 @@ def run_active_loop(
     eval_limit: Optional[int] = 50,
     seed: int = 0,
     logger=None,
+    store=None,
 ) -> Tuple["TrainState", Dict[str, List[float]]]:
     """The full loop: reference active_PLDepth.py:160-185 semantics."""
     from pldepth_tpu.eval.evaluator import Evaluator
@@ -104,7 +166,8 @@ def run_active_loop(
     history: Dict[str, List[float]] = {"loss": [], "err": [], "hd_mean": []}
     for r in range(rounds):
         images, rankings, stats = active_learning_round(
-            trainer, state, pool, split=split, sigma=sigma, seed=seed + r
+            trainer, state, pool, split=split, sigma=sigma, seed=seed + r,
+            store=store,
         )
         steps = max(1, images.shape[0] // trainer.cfg.batch_size)
         state, loss = fit_on_fixed_rankings(

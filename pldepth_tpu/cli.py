@@ -528,9 +528,15 @@ def active(rounds, split_num, sigma, pretrain_epochs, **kw):
         it = BatchIterator(train_ds, cfg.batch_size, seed=cfg.seed)
         state, _ = trainer.fit(state, it, epochs=pretrain_epochs)
         it.close()
+    store = None
+    if cfg.data_resident:
+        from pldepth_tpu.data import build_resident_store
+
+        store = build_resident_store(train_ds, trainer.mesh)
     state, history = run_active_loop(
         trainer, state, train_ds, rounds=rounds, split=split_num, sigma=sigma,
         eval_ds=val_ds if len(val_ds) else None, seed=cfg.seed, logger=logger,
+        store=store,
     )
     save_weights_npz(os.path.join(logger.dir, "weights.npz"), state)
     click.echo(json.dumps(history))

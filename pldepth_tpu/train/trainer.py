@@ -723,6 +723,40 @@ class Trainer:
         self._jit_predict[fused] = jitted
         return jitted
 
+    def jit_predict_resident(self, local_batch: int) -> Callable:
+        """Serving straight from the HBM-resident store: ``(state, images_u8,
+        start) -> preds`` where ``images_u8`` is the store's sharded (N, H,
+        W, 3) uint8 array and each device forwards ``local_batch`` of its own
+        rows starting at per-shard offset ``start``. Zero host→device image
+        traffic — the active-learning round over a resident pool uploads
+        nothing per batch (the streaming path ships ~2.4 MB/image@448² over
+        the host link; the reference uploaded per image,
+        active_learning_method.py:101). Output row order is device-major:
+        global output j came from store row ``(j // local_batch) *
+        (N // n_devices) + start + j % local_batch``."""
+        key = ("resident", local_batch)
+        if key in self._jit_predict:
+            return self._jit_predict[key]
+
+        def fn(state, images_u8, start):
+            imgs = jax.lax.dynamic_slice_in_dim(images_u8, start, local_batch, 0)
+            return self.predict(state, imgs.astype(jnp.float32) / 255.0)
+
+        d = self.mesh.axis_names[0]
+        if self.mesh.shape[d] <= 1:
+            jitted = jax.jit(fn)
+        else:
+            mapped = jax.shard_map(
+                fn,
+                mesh=self.mesh,
+                in_specs=(P(), P(d, None, None, None), P()),
+                out_specs=P(d),
+                check_vma=False,
+            )
+            jitted = jax.jit(mapped)
+        self._jit_predict[key] = jitted
+        return jitted
+
     # ------------------------------------------------------------------
     # loops
     # ------------------------------------------------------------------

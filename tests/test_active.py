@@ -66,6 +66,103 @@ def test_oracle_label_sorted_and_consistent(rng):
     np.testing.assert_allclose(d, gt.reshape(-1)[flat], rtol=1e-6)
 
 
+def test_device_hausdorff_matches_numpy(rng):
+    """The batched device tile-Hausdorff (active_learning_round's path) must
+    reproduce the numpy golden exactly — distances and witness points —
+    including empty-tile fallbacks."""
+    from pldepth_tpu.active.acquisition import tile_hausdorff_batch
+
+    h = w = 64
+    split = 8
+    batch = 3
+    a = np.stack(
+        [(rng.uniform(size=(h, w)) < p).astype(np.uint8) * 255
+         for p in (0.02, 0.15, 0.0)]  # sparse, dense, fully empty
+    )
+    b = np.stack(
+        [(rng.uniform(size=(h, w)) < p).astype(np.uint8) * 255
+         for p in (0.15, 0.02, 0.1)]
+    )
+    dist_b, pts_b = tile_hausdorff_batch(a, b, split)
+    assert dist_b.shape == (batch, split * split)
+    assert pts_b.shape == (batch, split * split, 2)
+    for i in range(batch):
+        want_d, want_p = tile_hausdorff(a[i], b[i], split)
+        np.testing.assert_allclose(dist_b[i], want_d, rtol=1e-6)
+        np.testing.assert_array_equal(pts_b[i], want_p)
+
+
+@pytest.mark.slow
+def test_active_learning_round_end_to_end():
+    """The pipelined round (async predict prefetch + batched device
+    Hausdorff) produces well-formed oracle rankings and a state update."""
+    import jax
+
+    from pldepth_tpu.active.loop import active_learning_round, fit_on_fixed_rankings
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.core.mesh import make_mesh
+    from pldepth_tpu.data import SyntheticDepthDataset
+    from pldepth_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model_name="ff_smoke", input_size=64, batch_size=4, ranking_size=3,
+        rankings_per_image=8, sampling_type=1, compute_dtype="float32",
+        listmle_impl="xla",
+    )
+    trainer = Trainer(cfg, steps_per_epoch=1, mesh=make_mesh(devices=jax.devices()[:1]))
+    state = trainer.init_state()
+    ds = SyntheticDepthDataset(n=6, image_size=64, seed=3)
+    images, rankings, stats = active_learning_round(
+        trainer, state, ds, split=4, seed=0, predict_batch=4
+    )
+    assert images.shape == (6, 64, 64, 3)
+    n_lists = 16 // cfg.ranking_size  # 16 tiles grouped into K-lists
+    assert rankings.shape == (6, n_lists, cfg.ranking_size, 2)
+    # oracle lists are depth-descending and index into the image
+    assert (np.diff(rankings[..., 1], axis=-1) <= 1e-6).all()
+    assert (rankings[..., 0] >= 0).all() and (rankings[..., 0] < 64 * 64).all()
+    assert np.isfinite(stats["avg_hd_mean"])
+    state2, loss = fit_on_fixed_rankings(trainer, state, images, rankings, steps=1)
+    assert np.isfinite(loss)
+
+
+@pytest.mark.slow
+def test_active_round_resident_store_covers_pool():
+    """The resident-store round (predict reads images from HBM, device-major
+    row order, overlapping tail batch) covers every pool image exactly once
+    and returns rows in dataset order."""
+    import jax
+
+    from pldepth_tpu.active.loop import active_learning_round
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.core.mesh import make_mesh
+    from pldepth_tpu.data import SyntheticDepthDataset, build_resident_store
+    from pldepth_tpu.train import Trainer
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = ExperimentConfig(
+        model_name="ff_smoke", input_size=64, batch_size=4, ranking_size=3,
+        rankings_per_image=8, sampling_type=1, compute_dtype="float32",
+        listmle_impl="xla",
+    )
+    trainer = Trainer(cfg, steps_per_epoch=1, mesh=make_mesh(devices=devs[:2]))
+    state = trainer.init_state()
+    ds = SyntheticDepthDataset(n=6, image_size=64, seed=3)
+    store = build_resident_store(ds, trainer.mesh)
+    # n_local=3, bl=2 -> starts [0, 1]: the second batch overlaps row 1 of
+    # each shard; the dedupe must keep single copies and cover all 6 rows
+    images, rankings, stats = active_learning_round(
+        trainer, state, ds, split=4, seed=0, predict_batch=4, store=store
+    )
+    assert images.shape == (6, 64, 64, 3)
+    for i in range(6):
+        np.testing.assert_array_equal(images[i], ds[i]["image"])
+    assert rankings.shape[0] == 6
+    assert np.isfinite(stats["avg_hd_mean"])
+
+
 def test_tile_hausdorff_nonsquare(rng):
     """Portrait/landscape maps must tile cleanly (the reference splitImage
     assumed square inputs); witnesses stay in bounds for both."""

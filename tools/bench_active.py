@@ -56,7 +56,7 @@ def main():
     img1 = imgs0[: max(1, trainer.mesh.shape["data"])]
     np.asarray(predict(state, img1))  # warm the 1-image graph too
 
-    # --- full round, wall clock ---
+    # --- full round, wall clock (streaming: images uploaded per batch) ---
     t0 = time.time()
     images, rankings, stats = active_learning_round(
         trainer, state, ds, split=split, seed=0, predict_batch=8
@@ -64,7 +64,29 @@ def main():
     t_round = time.time() - t0
     ips_round = n / t_round
 
-    # --- decomposition: host acquisition cost per image ---
+    # --- resident round: predictions read the pool from HBM, nothing
+    # uploaded per batch ---
+    from pldepth_tpu.data import build_resident_store
+
+    store = build_resident_store(ds, trainer.mesh)
+    active_learning_round(  # warm the resident-predict compile
+        trainer, state, ds, split=split, seed=0, predict_batch=8, store=store
+    )
+    t0 = time.time()
+    active_learning_round(
+        trainer, state, ds, split=split, seed=0, predict_batch=8, store=store
+    )
+    t_res = time.time() - t0
+    ips_res = n / t_res
+
+    # --- decomposition: legacy per-image host path (numpy Hausdorff), the
+    # reference's host cost — and the new pipeline's pieces.
+    from pldepth_tpu.active.acquisition import (
+        input_edge_map,
+        pred_edge_map,
+        tile_hausdorff_batch,
+    )
+
     sample = ds[0]
     pred0 = np.asarray(predict(state, imgs0))[0]
     t0 = time.time()
@@ -74,6 +96,19 @@ def main():
         pos, pts, m, v = acquire_pixels(sample["image"], pred0, split, 1.8)
         oracle_label(sample["gt"], pts, cfg.ranking_size, rng)
     t_host_per_img = (time.time() - t0) / reps
+
+    t0 = time.time()
+    for _ in range(reps):
+        ie = input_edge_map(sample["image"])
+        pe = pred_edge_map(pred0, 1.8)
+    t_edges_per_img = (time.time() - t0) / reps
+    ie_b = np.stack([ie] * 8)
+    pe_b = np.stack([pe] * 8)
+    tile_hausdorff_batch(ie_b, pe_b, split)  # warm the jit
+    t0 = time.time()
+    for _ in range(reps):
+        tile_hausdorff_batch(ie_b, pe_b, split)
+    t_hd_batch8 = (time.time() - t0) / reps
 
     # --- per-image dispatch cost (reference's pattern: model.predict per
     # image). Median of single-image dispatches, including host sync.
@@ -95,7 +130,11 @@ def main():
         "n_images": n, "size": size, "split": split,
         "round_images_per_sec": round(ips_round, 2),
         "round_wall_s": round(t_round, 2),
-        "host_acquisition_ms_per_img": round(t_host_per_img * 1e3, 2),
+        "resident_round_images_per_sec": round(ips_res, 2),
+        "resident_round_wall_s": round(t_res, 2),
+        "legacy_host_acquisition_ms_per_img": round(t_host_per_img * 1e3, 2),
+        "host_edges_ms_per_img": round(t_edges_per_img * 1e3, 2),
+        "device_hausdorff_ms_per_batch8": round(t_hd_batch8 * 1e3, 2),
         "batched_predict_ms_per_batch8": round(t_dispatch_batch * 1e3, 2),
         "one_image_predict_ms": round(t_dispatch_one * 1e3, 2),
         "reference_pattern_est_images_per_sec": round(ref_est_ips, 2),
