@@ -439,13 +439,29 @@ def main() -> None:
     ips_resident_chain = None
     if ips_resident is not None:
         try:
-            chain = trainer.resident_chain(scan_len)
-            state, m_chain = chain(state, store.arrays)  # compile
-            jax.block_until_ready(m_chain.loss)
+            # chain=32 saturates the dispatch-overhead curve (ms_per_step =
+            # t + d/n with d ≈ 12 ms through the tunnel — the r03 "4% gap"
+            # at chain=10 was exactly d/10; tools/bench_resident_chain.py
+            # sweep, docs/BENCH.md). Chained-difference timing: D vs 2D
+            # dispatches each ended by a real host fetch (block_until_ready
+            # returns early on this backend), the fetch RTT cancels.
+            chain_n = max(32, scan_len) if scan_len >= 8 else scan_len
+            chain = trainer.resident_chain(chain_n)
+
+            def run_chain(st, dispatches):
+                for _ in range(dispatches):
+                    st, m_chain = chain(st, store.arrays)
+                float(jax.device_get(m_chain.loss[-1]))
+                return st
+
+            state = run_chain(state, 1)  # compile + settle
             t0 = time.time()
-            state, m_chain = chain(state, store.arrays)
-            jax.block_until_ready(m_chain.loss)
-            ips_resident_chain = scan_len * batch / (time.time() - t0)
+            state = run_chain(state, 2)
+            t_lo = time.time() - t0
+            t0 = time.time()
+            state = run_chain(state, 4)
+            t_hi = time.time() - t0
+            ips_resident_chain = chain_n * batch / max((t_hi - t_lo) / 2, 1e-9)
         except Exception as e:  # keep the bench robust
             print(f"# resident-chain bench skipped: {e}", file=sys.stderr)
 

@@ -3,8 +3,17 @@
 
 The chain (Trainer.resident_chain) exists to amortize per-dispatch latency;
 r03 measured 383.3 img/s at chain=10 vs 398.4 device rate. Per-dispatch
-overhead d and per-step time t give rate(n) = B*n / (n*t + d) — the sweep
+overhead d and per-step time t give ms_per_step(n) = t + d/n — the sweep
 fits d and reports where the curve saturates.
+
+Methodology note (docs/BENCH.md "Methodology warnings"): on this
+tunnel-attached backend ``block_until_ready`` can return ~80x before
+execution completes (measured: 4.5 ms for an ~85 ms step), so each timing
+is a chained difference — D and 2D dispatches, each ended by a real host
+value fetch of the final loss (the donated state carry makes every prior
+dispatch a data dependency of that value); the fetch RTT cancels in the
+difference. A cheap block_until_ready every other dispatch stays as queue
+backpressure only (unsynced dispatch floods have wedged this transport).
 
 Run on TPU from the repo root:
   python -u tools/bench_resident_chain.py
@@ -17,6 +26,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import faulthandler
+
+faulthandler.dump_traceback_later(1800, repeat=True)
 
 
 def main():
@@ -40,23 +53,30 @@ def main():
     ds = SyntheticDepthDataset(n=max(2 * batch, 16), image_size=size, seed=0)
     store = build_resident_store(ds, trainer.mesh)
 
+    def timed_run(chain_fn, state, dispatches):
+        t0 = time.time()
+        for i in range(dispatches):
+            state, m = chain_fn(state, store.arrays)
+            if i % 2 == 1:
+                m.loss.block_until_ready()  # backpressure only, not a sync
+        # real sync: fetch a value that depends on every prior dispatch
+        last = m.loss if m.loss.ndim == 0 else m.loss[-1]
+        float(jax.device_get(last))
+        return time.time() - t0, state
+
     results = {}
     for n in (1, 8, 32, 128):
         chain = trainer.resident_chain(n)
-        state, m = chain(state, store.arrays)  # compile + settle
-        jax.block_until_ready(m.loss)
-        # wall clock across enough dispatches to cover >= 256 steps
-        dispatches = max(1, 256 // n)
-        t0 = time.time()
-        for _ in range(dispatches):
-            state, m = chain(state, store.arrays)
-            jax.block_until_ready(m.loss)
-        dt = time.time() - t0
-        steps = dispatches * n
+        _, state = timed_run(chain, state, 2)  # compile + settle
+        d_lo = max(2, 256 // n)
+        t_lo, state = timed_run(chain, state, d_lo)
+        t_hi, state = timed_run(chain, state, 2 * d_lo)
+        per_dispatch = (t_hi - t_lo) / d_lo
+        per_step = per_dispatch / n
         results[n] = {
-            "images_per_sec": round(steps * batch / dt, 2),
-            "ms_per_dispatch": round(dt / dispatches * 1e3, 2),
-            "ms_per_step": round(dt / steps * 1e3, 3),
+            "images_per_sec": round(batch / per_step, 2),
+            "ms_per_dispatch": round(per_dispatch * 1e3, 2),
+            "ms_per_step": round(per_step * 1e3, 3),
         }
         print(json.dumps({"chain": n, **results[n]}), flush=True)
 
