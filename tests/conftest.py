@@ -44,7 +44,9 @@ _cache_dir = os.environ.get(
     "PLDEPTH_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 )
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+# 1 s (not the 5 s default): the suite compiles many 2-4 s programs whose
+# accumulated re-compiles dominate once the big ones are cached.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -27,6 +27,7 @@ def _nontrivial(variables):
     )
 
 
+@pytest.mark.slow  # full-model compile (B0 + ReDWeb)
 @pytest.mark.parametrize("name", ["ff_effnet", "ff_redweb"])
 def test_folded_forward_matches_f32(name, rng):
     model = get_pl_depth_net(name, compute_dtype="float32")
@@ -44,6 +45,7 @@ def test_folded_forward_matches_f32(name, rng):
     assert rel < 2e-5, rel
 
 
+@pytest.mark.slow  # full-model compile (B0 serving graphs)
 def test_trainer_predict_bnfold_matches():
     from pldepth_tpu.core.config import ExperimentConfig
     from pldepth_tpu.core.mesh import make_mesh

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compiles (B0/B1 fused-serving graphs)
+
 from pldepth_tpu.models.efficientnet import EfficientNetEncoder
 from pldepth_tpu.models import fused_infer
 

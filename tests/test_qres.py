@@ -80,6 +80,7 @@ def _grads(model, variables, x):
     return jax.grad(loss_fn)(params)
 
 
+@pytest.mark.slow  # three full fwd+bwd grad compiles (base/bf16/int8)
 def test_qres_gradients_close(data):
     """Compression perturbs gradients; bound the relative L2 error per
     leaf. bf16 x-hat keeps ~3 significant digits; int8 is coarser."""
@@ -118,6 +119,7 @@ def test_qres_gradients_close(data):
         assert cos > 0.999, f"{store}: cosine {cos}"
 
 
+@pytest.mark.slow  # builds two Trainers (standard + qres train steps)
 def test_qres_train_step_runs(data):
     cfg = ExperimentConfig(
         model_name="ff_smoke", input_size=S, batch_size=2, ranking_size=3,

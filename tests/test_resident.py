@@ -156,15 +156,23 @@ def test_resident_chain_matches_single_steps(shared):
 
 def test_fit_resident_chain_mode(shared):
     """fit() with resident_chain_steps > 1 trains whole chunks per dispatch,
-    including a remainder chunk, and records per-step losses."""
-    ds, _, store = shared
-    devs = jax.devices()[:1]
-    cfg = _cfg(1, 4).replace(resident_chain_steps=2)
-    tr = Trainer(cfg, steps_per_epoch=3, mesh=make_mesh(cfg.mesh, devs))
-    state = tr.init_state()
-    state, history = tr.fit(state, None, epochs=1, resident_store=store)
-    assert int(jax.device_get(state.step)) == 3  # chunk of 2 + remainder 1
-    assert len(history["loss"]) == 1 and np.isfinite(history["loss"][0])
+    including a remainder chunk, and records per-step losses.
+
+    Reuses the shared trainer with chain 3 + remainder 1: both programs are
+    already compiled by the preceding tests (chain(3) above, resident_step
+    in the fixture) — a second Trainer at chain=2 cost this file ~80 s of
+    duplicate compiles for the same mechanics."""
+    _, tr, store = shared
+    prev_steps, prev_cfg = tr.steps_per_epoch, tr.cfg
+    tr.steps_per_epoch = 4
+    tr.cfg = prev_cfg.replace(resident_chain_steps=3)
+    try:
+        state = tr.init_state()
+        state, history = tr.fit(state, None, epochs=1, resident_store=store)
+        assert int(jax.device_get(state.step)) == 4  # chunk of 3 + remainder 1
+        assert len(history["loss"]) == 1 and np.isfinite(history["loss"][0])
+    finally:
+        tr.steps_per_epoch, tr.cfg = prev_steps, prev_cfg
 
 
 def test_fit_resident_mode(shared):
