@@ -445,13 +445,16 @@ def main() -> None:
             # sweep, docs/BENCH.md). Chained-difference timing: D vs 2D
             # dispatches each ended by a real host fetch (block_until_ready
             # returns early on this backend), the fetch RTT cancels.
-            chain_n = max(32, scan_len) if scan_len >= 8 else scan_len
+            # floor at 2: resident_chain(n<=1) degrades to resident_step,
+            # whose loss is a scalar the [-1] fetch below would reject
+            chain_n = max(32, scan_len) if scan_len >= 8 else max(scan_len, 2)
             chain = trainer.resident_chain(chain_n)
 
             def run_chain(st, dispatches):
                 for _ in range(dispatches):
                     st, m_chain = chain(st, store.arrays)
-                float(jax.device_get(m_chain.loss[-1]))
+                loss = m_chain.loss
+                float(jax.device_get(loss if loss.ndim == 0 else loss[-1]))
                 return st
 
             state = run_chain(state, 1)  # compile + settle
@@ -461,7 +464,21 @@ def main() -> None:
             t0 = time.time()
             state = run_chain(state, 4)
             t_hi = time.time() - t0
-            ips_resident_chain = chain_n * batch / max((t_hi - t_lo) / 2, 1e-9)
+            # A 2-vs-4-dispatch single-sample difference is noise-prone; a
+            # non-positive delta (or one implying a rate faster than the
+            # pure device step) is a failed measurement, not a result —
+            # report the skip instead of clamping into an absurd figure.
+            dt = (t_hi - t_lo) / 2
+            cand = chain_n * batch / dt if dt > 0 else float("inf")
+            if dt <= 0 or (ips and cand > 1.25 * ips):
+                print(
+                    f"# resident-chain delta {dt * 1e3:.1f} ms implies "
+                    f"{cand:.0f} img/s (device rate {ips:.0f}); noise won — "
+                    "skipping the chain figure this run",
+                    file=sys.stderr,
+                )
+            else:
+                ips_resident_chain = cand
         except Exception as e:  # keep the bench robust
             print(f"# resident-chain bench skipped: {e}", file=sys.stderr)
 
@@ -472,6 +489,43 @@ def main() -> None:
             baseline = json.load(f).get("tf2_cpu_images_per_sec")
     if not baseline:
         baseline = 0.25  # conservative stored estimate, see BASELINE.md notes
+
+    # --- standing int8 serving metric gate (VERDICT r04 #3): the XLA
+    # depthwise-int8 TPU miscompile the r04 gate caught was compilation-
+    # context dependent (448^2 only) and could silently return with a
+    # jaxlib/runtime bump — so the default serving graph's accuracy is
+    # re-gated on the attached chip in every headline bench run, and the
+    # deltas land in bench_detail.json. Skipped off the headline config
+    # (large-K / other-model runs) and with BENCH_SKIP_QGATE=1.
+    qgate = None
+    if (
+        not os.environ.get("BENCH_SKIP_QGATE")
+        and jax.default_backend() not in ("cpu",)
+        and cfg.model_name == "ff_effnet"
+        and image_size == 448
+        and cfg.ranking_size == 5
+    ):
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+            from quant_metric_gate import run_gate
+
+            qgate = run_gate(
+                model="ff_effnet", size=448,
+                n=int(os.environ.get("BENCH_QGATE_N", 48)), batch=8,
+                dataset="scenes", weights="train",
+                train_epochs=int(os.environ.get("BENCH_QGATE_EPOCHS", 3)),
+            )
+            if not qgate.get("pass", False):
+                print(
+                    "# QGATE FAIL: the int8 serving default violates its "
+                    "metric budgets on this chip/runtime — serving falls "
+                    "back to bn_fold until re-gated (see bench_detail.json "
+                    "qgate block)",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # keep the bench robust
+            print(f"# qgate skipped: {e}", file=sys.stderr)
+            qgate = {"error": str(e)}
 
     hist_key = (
         f"train/{cfg.model_name}/{image_size}/{batch}/K{cfg.ranking_size}"
@@ -509,6 +563,7 @@ def main() -> None:
         "loss_sample": float(jax.device_get(m.loss)),
         "baseline_tf2_cpu_images_per_sec": baseline,
         "devices": [str(d) for d in jax.devices()],
+        "qgate": qgate,
     }
     detail_path = os.environ.get(
         "BENCH_DETAIL", os.path.join(os.path.dirname(__file__), "bench_detail.json")

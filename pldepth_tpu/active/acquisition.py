@@ -184,9 +184,19 @@ def tile_hausdorff_batch(
     numerically identical to the per-image numpy path.
     """
     b, h, w = in_edges.shape
+    # Bucket the leading dim to the next power of two: the jit is cached per
+    # (split, h, w) but would otherwise retrace for every distinct batch size
+    # (dedup-shrunk and final partial batches), costing an extra compile or
+    # two per acquisition round. Pad rows are empty edge maps (cheap:
+    # lax.map is per-image) and their outputs are sliced off.
+    b_pad = 1 << max(0, (b - 1).bit_length())
+    if b_pad != b:
+        pad = ((0, b_pad - b), (0, 0), (0, 0))
+        in_edges = np.pad(in_edges, pad)
+        pred_edges = np.pad(pred_edges, pad)
     fn = _device_hausdorff_fn(split, h, w)
     dist, pts = fn(np.ascontiguousarray(in_edges), np.ascontiguousarray(pred_edges))
-    return np.asarray(dist), np.asarray(pts).astype(np.int64)
+    return np.asarray(dist)[:b], np.asarray(pts)[:b].astype(np.int64)
 
 
 def input_edge_map(image: np.ndarray) -> np.ndarray:

@@ -25,17 +25,19 @@ from pldepth_tpu.data.datasets import DepthDataset
 log = logging.getLogger(__name__)
 
 
-def _stream_batches(trainer, state, ds, predict_batch):
+def _stream_batches(trainer, state, ds, predict_batch, row_subset=None):
     """Yield (rows, items, preds_device) per predict batch, images uploaded
     from host. Dispatches are async — the caller prefetches one batch ahead
     so the device forward overlaps the host-side Canny work (the reference
-    blocked per image, active_learning_method.py:101)."""
+    blocked per image, active_learning_method.py:101). ``row_subset``
+    restricts to specific dataset rows (used to cover the resident store's
+    truncation remainder)."""
     from pldepth_tpu.core.mesh import pad_to_batch
 
     predict = trainer.jit_predict()
-    n = len(ds)
-    for start in range(0, n, predict_batch):
-        rows = list(range(start, min(start + predict_batch, n)))
+    all_rows = list(range(len(ds))) if row_subset is None else list(row_subset)
+    for start in range(0, len(all_rows), predict_batch):
+        rows = all_rows[start : start + predict_batch]
         items = [ds[i] for i in rows]
         imgs = np.stack([s["image"] for s in items])
         yield rows, items, predict(state, pad_to_batch(imgs, predict_batch))
@@ -87,6 +89,24 @@ def active_learning_round(
 
     if store is not None:
         gen = _resident_batches(trainer, state, ds, store, predict_batch)
+        if store.n < len(ds):
+            # The store truncates the pool to a multiple of the data-axis
+            # size at build time; without this the dropped tail rows would
+            # be silently excluded from every acquisition round relative to
+            # the streaming path. Cover them via one streaming tail batch.
+            import itertools
+
+            tail_rows = range(store.n, len(ds))
+            log.info(
+                "resident store covers %d/%d pool rows; streaming the "
+                "%d-row remainder", store.n, len(ds), len(ds) - store.n,
+            )
+            gen = itertools.chain(
+                gen,
+                _stream_batches(
+                    trainer, state, ds, predict_batch, row_subset=tail_rows
+                ),
+            )
     else:
         gen = _stream_batches(trainer, state, ds, predict_batch)
 

@@ -474,8 +474,14 @@ def eval_cmd(model_name, load_model_path, dataset, data_root, input_size,
 @click.option("--diode_root", default="")
 @click.option("--sintel_root", default="")
 @click.option("--tum_root", default="")
+@click.option("--diw_root", default="",
+              help="DIW root: official layout, DIW_test.csv + images "
+                   "(human ordinal pairs -> diw_whdr; data/diw.py)")
 def zeroshot(model_name, load_model_path, input_size, limit, **roots):
-    """Zero-shot cross-dataset ordinal suite (BASELINE.json config #4)."""
+    """Zero-shot cross-dataset ordinal suite (BASELINE.json config #4) —
+    dense sets (Ibims/DIODE/Sintel/TUM) via the metric suite, DIW via
+    human-pair WHDR (the one eval the reference names but never
+    implemented; eval/diw.py documents the conventions)."""
     from pldepth_tpu.core.config import ExperimentConfig
     from pldepth_tpu.data import get_dataset
     from pldepth_tpu.eval.evaluator import Evaluator
@@ -493,9 +499,19 @@ def zeroshot(model_name, load_model_path, input_size, limit, **roots):
             datasets.append(
                 get_dataset(name, root=roots[key], target_size=input_size)
             )
-    if not datasets:
+    if not datasets and not roots.get("diw_root"):
         raise click.UsageError("provide at least one dataset root")
-    out = Evaluator(trainer, state).zero_shot_suite(datasets, limit=limit)
+    out = {}
+    if datasets:
+        out = Evaluator(trainer, state).zero_shot_suite(datasets, limit=limit)
+    if roots.get("diw_root"):
+        from pldepth_tpu.data.diw import load_diw
+        from pldepth_tpu.eval.diw import evaluate_diw
+
+        items = load_diw(roots["diw_root"])
+        if limit:
+            items = items[:limit]
+        out["diw"] = evaluate_diw(trainer, state, items, input_size)
     click.echo(json.dumps(out, indent=2))
 
 
@@ -530,9 +546,25 @@ def active(rounds, split_num, sigma, pretrain_epochs, **kw):
         it.close()
     store = None
     if cfg.data_resident:
-        from pldepth_tpu.data import build_resident_store
+        import jax
 
-        store = build_resident_store(train_ds, trainer.mesh)
+        if jax.process_count() > 1:
+            # The resident active path's store-row -> ds[i] mapping
+            # (active/loop.py _resident_batches) assumes a single-process
+            # store holding the whole pool; under multi-host the device_put
+            # of host-global data onto non-addressable devices fails anyway.
+            # Fall back to the streaming acquisition path, which shards
+            # correctly by construction.
+            click.echo(
+                "# --data_resident ignored for the active loop under "
+                f"multi-host (process_count={jax.process_count()}); "
+                "using the streaming acquisition path",
+                err=True,
+            )
+        else:
+            from pldepth_tpu.data import build_resident_store
+
+            store = build_resident_store(train_ds, trainer.mesh)
     state, history = run_active_loop(
         trainer, state, train_ds, rounds=rounds, split=split_num, sigma=sigma,
         eval_ds=val_ds if len(val_ds) else None, seed=cfg.seed, logger=logger,
@@ -833,15 +865,43 @@ def chi2(trials, batches_per_trial, **kw):
 
 @cli.command()
 @click.option("--weights", required=True,
-              help="Keras model file (.h5 / SavedModel dir) holding the backbone")
+              help="Keras model file (.h5 / SavedModel dir) holding the "
+                   "backbone — or, with --reverse, the weights .npz written "
+                   "by this framework")
 @click.option("--model_name", default="ff_effnet",
               help="target family: ff_effnet* (EfficientNet) or ff_redweb (ResNet-50)")
-@click.option("--out", required=True, help="output .npz for --pretrained_path")
-def convert(weights, model_name, out):
+@click.option("--out", required=True,
+              help="output .npz for --pretrained_path (or .h5 with --reverse)")
+@click.option("--reverse", is_flag=True, default=False,
+              help="export the other way: weights .npz -> Keras .h5 so "
+                   "reference-side tooling can evaluate a TPU-trained model")
+@click.option("--template", default="",
+              help="(--reverse) existing Keras .h5 with the target "
+                   "architecture to fill (e.g. a reference-trained model); "
+                   "without it a bare keras.applications backbone is built "
+                   "and populated encoder-only")
+@click.option("--input_size", default=448, type=click.INT,
+              help="(--reverse, no template) input size for the built "
+                   "backbone graph")
+def convert(weights, model_name, out, reverse, template, input_size):
     """Convert Keras backbone weights to the npz consumed by
     --pretrained_path (reference encoders came from keras.applications,
-    pl_hourglass.py:48 / redweb.py:410). Runs wherever TF + the weights
-    exist; numerics are covered by tools/keras_parity_check.py."""
+    pl_hourglass.py:48 / redweb.py:410) — or, with --reverse, export this
+    framework's weights npz back to a Keras .h5 the reference stack loads
+    (test_data_eval.py:70-85). Runs wherever TF + the weights exist;
+    numerics are covered by tools/keras_parity_check.py and the round-trip
+    test (tests/test_reverse_export.py)."""
+    if reverse:
+        from pldepth_tpu.models.convert import export_npz_to_keras_file
+
+        path, n = export_npz_to_keras_file(
+            weights, model_name, out, template_h5=template or None,
+            input_size=input_size,
+        )
+        click.echo(json.dumps(
+            {"out": path, "model_name": model_name, "tensors_assigned": n}
+        ))
+        return
     from pldepth_tpu.models.convert import convert_keras_file
 
     path = convert_keras_file(weights, model_name, out)

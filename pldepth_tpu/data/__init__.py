@@ -1,4 +1,5 @@
 from pldepth_tpu.data.datasets import DATASETS, SyntheticDepthDataset, get_dataset
+from pldepth_tpu.data.scenes import SceneDepthDataset
 from pldepth_tpu.data.pipeline import (
     BatchIterator,
     pregenerate_val_rankings,
@@ -11,6 +12,7 @@ __all__ = [
     "DATASETS",
     "BatchIterator",
     "ResidentStore",
+    "SceneDepthDataset",
     "SyntheticDepthDataset",
     "build_resident_store",
     "get_dataset",

@@ -183,9 +183,20 @@ def load_sintel(root: str, target_size: int = 224) -> DepthDataset:
     return _eval_ds("sintel", imgs, target_size, read)
 
 
+def _load_scenes(root="", target_size=224, size=None, split="train", seed=0,
+                 shuffle=False):
+    from pldepth_tpu.data.scenes import SceneDepthDataset
+
+    # distinct index streams per split so train/val scenes never coincide
+    return SceneDepthDataset(
+        size or 64, target_size, seed + (1_000 if split != "train" else 0)
+    )
+
+
 DATASETS: Dict[str, Callable[..., DepthDataset]] = {
     "synthetic": lambda root="", target_size=224, size=None, split="train", seed=0,
     shuffle=False: SyntheticDepthDataset(size or 64, target_size, seed),
+    "scenes": _load_scenes,
     "HR-WSI": load_hrwsi,
     "IBIMS": load_ibims,
     "TUM": load_tum,

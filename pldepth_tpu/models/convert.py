@@ -305,6 +305,107 @@ def _looks_like_full_model(keras_model, model_name: str) -> bool:
     return any(type(l).__name__ == "Conv2D" for l in tail)
 
 
+def export_npz_to_keras(
+    keras_model, model_name: str, tensors: Dict[str, np.ndarray],
+    strict: bool = True,
+) -> int:
+    """Reverse direction: write Flax-side tensors INTO a live Keras model.
+
+    ``tensors`` is the flat npz layout written by train/checkpoint.py
+    ``save_weights_npz`` / ``models/pretrained.py`` ``save_backbone``
+    ("params/encoder/stem_conv/kernel", ...). Every collected Keras
+    variable gets its value from the matching Flax path with the layout
+    transform inverted (the transforms are involutions, see
+    ``_apply_transform``), so reference-side tooling can evaluate a
+    TPU-trained model. Returns the number of tensors assigned.
+
+    ``strict``: raise if any collected Keras variable has no tensor (a
+    trained full-model export must be complete); ``strict=False`` assigns
+    the intersection (e.g. encoder-only npz into a bare backbone).
+    """
+    if _looks_like_full_model(keras_model, model_name):
+        entries = collect_full_model(keras_model, model_name)
+    elif "effnet" in model_name:
+        entries = collect_keras_efficientnet(keras_model)
+    elif "redweb" in model_name or "resnet" in model_name:
+        entries = collect_keras_resnet50(keras_model)
+    else:
+        raise ValueError(f"unknown model family for {model_name}")
+    missing = [n for n in entries if n not in tensors]
+    if missing:
+        if strict:
+            raise ValueError(
+                f"reverse export: {len(missing)} Keras variables have no "
+                f"tensor in the npz, e.g. {sorted(missing)[:5]}"
+            )
+        entries = {n: e for n, e in entries.items() if n in tensors}
+
+    def lookup(name: str, flax_shape: Tuple[int, ...]) -> np.ndarray:
+        arr = np.asarray(tensors[name], np.float32)
+        if arr.shape != flax_shape:
+            raise ValueError(
+                f"reverse export {name}: npz shape {arr.shape} != "
+                f"Keras-side (Flax layout) shape {flax_shape}"
+            )
+        return arr
+
+    assign_entries(entries, lookup)
+    return len(entries)
+
+
+def export_npz_to_keras_file(
+    npz_path: str,
+    model_name: str,
+    out_h5: str,
+    template_h5: Optional[str] = None,
+    input_size: int = 448,
+    strict: Optional[bool] = None,
+) -> Tuple[str, int]:
+    """Offline reverse entry: weights npz -> Keras ``.h5`` the reference
+    stack can open (test_data_eval.py:70-85 loads exactly such files).
+
+    ``template_h5``: an existing Keras model file with the target
+    architecture (e.g. a reference-trained ``.h5``) — its weights are
+    replaced wholesale. Without it, a bare ``keras.applications`` backbone
+    graph is built for the family (EfficientNetB0-B7 by the ``_b{N}``
+    suffix, ResNet-50 for ff_redweb) and populated from the npz's encoder
+    tensors — enough for reference-side feature/backbone tooling; full
+    decoder export needs the template (the reference decoder graph isn't
+    rebuilt here to keep this module reference-code-free; see
+    tools/ref_models.py build_reference_model for an offline builder).
+    """
+    import tensorflow as tf
+
+    with np.load(npz_path) as archive:
+        tensors = {k: archive[k] for k in archive.files}
+    if template_h5:
+        keras_model = tf.keras.models.load_model(template_h5, compile=False)
+        n = export_npz_to_keras(
+            keras_model, model_name, tensors,
+            strict=True if strict is None else strict,
+        )
+    else:
+        if "effnet" in model_name:
+            variant = 0
+            if "_b" in model_name:
+                variant = int(model_name.rsplit("_b", 1)[1] or 0)
+            builder = getattr(tf.keras.applications, f"EfficientNetB{variant}")
+        else:
+            builder = tf.keras.applications.ResNet50
+        keras_model = builder(
+            include_top=False, weights=None,
+            input_shape=(input_size, input_size, 3),
+        )
+        # encoder-only by construction: the npz may also hold decoder/
+        # optimizer tensors that have no home in a bare backbone
+        n = export_npz_to_keras(
+            keras_model, model_name, tensors,
+            strict=False if strict is None else strict,
+        )
+    keras_model.save(out_h5)
+    return out_h5, n
+
+
 def convert_keras_file(h5_or_dir: str, model_name: str, out_npz: str) -> str:
     """Offline entry: load a Keras model file and write the converted npz.
 

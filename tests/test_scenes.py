@@ -1,0 +1,197 @@
+"""Structured synthetic scenes (data/scenes.py): the edge-dependent
+subsystems — depth-edge metrics, int8 gate edge row, active-learning
+acquisition — need data with true depth discontinuities; the smooth
+`synthetic` fields have none. These tests pin down that the scenes provide
+them and that acquisition actually keys on real depth structure
+(reference behavior: pldepth/active_learning/active_learning_method.py:22-56)."""
+
+import numpy as np
+import pytest
+
+from pldepth_tpu.data.scenes import (
+    SceneDepthDataset,
+    boundary_distance,
+    generate_scene,
+    true_boundary_map,
+)
+
+
+def test_scene_contract_and_determinism():
+    ds = SceneDepthDataset(n=4, image_size=96, seed=7)
+    assert len(ds) == 4
+    s = ds[2]
+    assert s["image"].shape == (96, 96, 3) and s["image"].dtype == np.float32
+    assert s["gt"].shape == (96, 96) and s["gt"].dtype == np.float32
+    assert s["mask"].shape == (96, 96)
+    assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0
+    assert 0.04 <= s["gt"].min() and s["gt"].max() <= 1.0
+    s2 = SceneDepthDataset(n=4, image_size=96, seed=7)[2]
+    np.testing.assert_array_equal(s["image"], s2["image"])
+    np.testing.assert_array_equal(s["gt"], s2["gt"])
+    # different seed -> different scene
+    s3 = SceneDepthDataset(n=4, image_size=96, seed=8)[2]
+    assert not np.array_equal(s["gt"], s3["gt"])
+
+
+def test_scene_has_true_depth_discontinuities():
+    """Occlusion boundaries exist and are sharp: the within-region gradients
+    stay below the jump threshold, the boundaries jump above it."""
+    for i in range(4):
+        s = generate_scene(i, 128, seed=0)
+        b = true_boundary_map(s["gt"])
+        # a few hundred boundary pixels on a 128^2 scene with 3-8 objects
+        assert b.sum() > 200, f"scene {i}: only {b.sum()} boundary px"
+        # boundaries are a sparse set, not texture noise
+        assert b.mean() < 0.15
+
+
+def test_gt_canny_edges_defined_on_scenes():
+    """depth_edge_metric's gt side (Canny of the minmaxed gt) must be
+    non-empty — on the smooth synthetic fields it is empty, which left the
+    edge-metric rows 'undefined' (VERDICT r04)."""
+    from pldepth_tpu.eval.metrics import _minmax, auto_canny
+
+    for i in range(4):
+        gt = generate_scene(i, 128, seed=1)["gt"]
+        gt_u8 = _minmax(gt.astype(np.float32), 0, 255).astype(np.uint8)
+        assert (auto_canny(gt_u8) > 0).sum() > 100
+
+
+def test_image_canny_edges_align_with_depth_boundaries():
+    """The acquisition pipeline Cannys the *image*; its edges must coincide
+    with true depth boundaries for edge-driven acquisition to mean anything."""
+    from pldepth_tpu.active.acquisition import input_edge_map
+
+    fracs = []
+    for i in range(4):
+        s = generate_scene(i, 224, seed=0)
+        ie = input_edge_map(s["image"])
+        pts = np.argwhere(ie > 0)
+        assert len(pts) > 100, f"scene {i}: image Canny nearly empty"
+        bd = boundary_distance(s["gt"])
+        fracs.append(float((bd[pts[:, 0], pts[:, 1]] <= 3).mean()))
+    # strong alignment on average (measured 0.80-0.95 across seeds)
+    assert np.mean(fracs) > 0.6, fracs
+
+
+def test_edge_metric_discriminates_aligned_vs_displaced():
+    """depth_edge_metric (reference quirk: aligned edges score HIGH) must
+    separate a perfect prediction from a spatially displaced one on scenes."""
+    from pldepth_tpu.eval.metrics import depth_edge_metric
+
+    aligned, displaced = [], []
+    for i in range(3):
+        gt = generate_scene(i, 128, seed=2)["gt"]
+        e_a, _ = depth_edge_metric(gt.copy(), gt)
+        e_d, _ = depth_edge_metric(np.roll(gt, 24, axis=1), gt)
+        assert np.isfinite(e_a) and np.isfinite(e_d)
+        aligned.append(e_a)
+        displaced.append(e_d)
+    assert np.mean(aligned) > np.mean(displaced) + 0.1, (aligned, displaced)
+
+
+def test_acquisition_concentrates_on_boundaries():
+    """Quantified acquisition quality (VERDICT r04 #1b): pixels acquired by
+    the edge-disagreement pipeline must sit far closer to true depth
+    boundaries than a uniform-sampling control, given an imperfect model
+    (simulated: blurred gt as the prediction)."""
+    import cv2
+
+    from pldepth_tpu.active.acquisition import acquire_pixels
+
+    from pldepth_tpu.active.acquisition import input_edge_map
+
+    rng = np.random.default_rng(0)
+    acq_d, uni_d, fracs = [], [], []
+    for i in range(3):
+        s = generate_scene(i, 128, seed=3)
+        # an imperfect model: the closest object is missing from the
+        # prediction (its boundary is where the model is wrong)
+        seg = s["segments"]
+        k = seg.max()
+        pred = np.where(
+            seg == k,
+            cv2.GaussianBlur(np.where(seg == k, 0.2, s["gt"]), (0, 0), 8.0),
+            s["gt"],
+        ).astype(np.float32)
+        pos, pts, mean_d, var_d = acquire_pixels(s["image"], pred, split=8)
+        bd = boundary_distance(s["gt"])
+        # Tiles with no edges on either side fall back to center witnesses
+        # with a diagonal-sentinel distance (reference
+        # active_learning_method.py:37-48 keeps them too) — they are
+        # filler, not signal. The acquisition *signal* is the witnesses
+        # that landed on input Canny edges; the quality claim is that
+        # those concentrate on true depth boundaries.
+        ie = input_edge_map(s["image"])
+        onedge = ie[pts[:, 0], pts[:, 1]] > 0
+        fracs.append(float(onedge.mean()))
+        sig = pts[onedge]
+        acq_d.append(bd[sig[:, 0], sig[:, 1]].mean())
+        upts = rng.integers(0, 128, size=(len(sig), 2))
+        uni_d.append(bd[upts[:, 0], upts[:, 1]].mean())
+    acq, uni = float(np.mean(acq_d)), float(np.mean(uni_d))
+    # a meaningful share of tiles carry signal on these scenes...
+    assert np.mean(fracs) > 0.15, fracs
+    # ...and their witnesses sit ~10x closer to true depth boundaries than
+    # uniform sampling (measured ~1.1 px vs ~11 px)
+    assert acq < 0.25 * uni, (acq, uni)
+
+
+def test_scenes_registered_in_dataset_registry():
+    from pldepth_tpu.data import get_dataset
+
+    ds = get_dataset("scenes", target_size=64, size=6, seed=0)
+    assert len(ds) == 6
+    assert ds[0]["image"].shape == (64, 64, 3)
+    # val split draws a disjoint index stream
+    dv = get_dataset("scenes", target_size=64, size=6, seed=0, split="val")
+    assert not np.array_equal(ds[0]["gt"], dv[0]["gt"])
+
+
+@pytest.mark.slow
+def test_training_on_scenes_moves_edge_metrics():
+    """Convergence on structured scenes must move the edge-dependent
+    metrics, not just the ListMLE loss (VERDICT r04 #1c): after overfitting
+    a tiny scene pool, ordinal error improves decisively and the
+    depth-boundary edge metric (aligned-high quirk) improves vs the random
+    init. Runs on a 1-device CPU mesh at 64^2 with ff_effnet."""
+    import jax
+
+    from pldepth_tpu.core.config import ExperimentConfig
+    from pldepth_tpu.core.mesh import make_mesh
+    from pldepth_tpu.data import BatchIterator
+    from pldepth_tpu.eval.evaluator import Evaluator
+    from pldepth_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model_name="ff_effnet", input_size=64, batch_size=8, ranking_size=4,
+        rankings_per_image=16, initial_lr=1e-3, sampling_type=1,
+        freeze_encoder=False, compute_dtype="float32", augmentation=True,
+        listmle_impl="xla",
+    )
+    trainer = Trainer(cfg, steps_per_epoch=2,
+                      mesh=make_mesh(devices=jax.devices()[:1]))
+    state = trainer.init_state()
+    ds = SceneDepthDataset(n=8, image_size=64, seed=5)
+
+    def edge_scores(st):
+        ev = Evaluator(trainer, st, eval_batch_size=8)
+        boundary, _completeness = ev.calc_depth_metrics(ds)
+        return boundary
+
+    ev0 = Evaluator(trainer, state, eval_batch_size=8)
+    err0 = ev0.calc_err(ds)
+    edge0 = edge_scores(state)
+
+    it = BatchIterator(ds, cfg.batch_size, seed=2)
+    for _ in range(40):
+        state, metrics = trainer.train_step(state, trainer.shard_batch(next(it)))
+        assert bool(metrics.finite)
+    it.close()
+
+    err1 = Evaluator(trainer, state, eval_batch_size=8).calc_err(ds)
+    edge1 = edge_scores(state)
+    assert err1 < err0 - 0.05, (err0, err1)
+    # the edge metric must be defined and move toward aligned (higher)
+    assert np.isfinite(edge0) and np.isfinite(edge1)
+    assert edge1 > edge0, (edge0, edge1)

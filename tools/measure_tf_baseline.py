@@ -52,17 +52,9 @@ def numpy_info_score_sampler(gt, mask, rpi=100, k=5, factor=5, tau=0.03):
     return np.stack([flat[top], depths[top]], axis=-1)
 
 
-def main():
-    import tensorflow as tf
-
-    tf.config.threading.set_intra_op_parallelism_threads(8)
-    tf.config.threading.set_inter_op_parallelism_threads(8)
-
-    size = int(os.environ.get("BASE_IMAGE_SIZE", 448))
-    batch = int(os.environ.get("BASE_BATCH", 4))
-    rpi, k = 100, 5
-    steps = int(os.environ.get("BASE_STEPS", 3))
-
+def build_effnet_model(tf, size):
+    """Reconstruction of the reference ff_effnet graph (pl_hourglass.py:
+    44-100) from its public description — without copying code."""
     from tensorflow.keras import layers
 
     inp = layers.Input((size, size, 3))
@@ -86,7 +78,36 @@ def main():
         if tap is not None:
             x = layers.Concatenate()([x, tap])
     out = layers.Conv2D(1, 3, padding="same")(x)
-    model = tf.keras.Model(inp, out)
+    return tf.keras.Model(inp, out)
+
+
+def build_redweb_model(size):
+    """The reference ff_redweb graph itself (ResNet-50 + FeatureFusion
+    decoder, redweb.py:402-434), built via tools/ref_models.py's import
+    shims — the most faithful denominator available: the graph code IS the
+    reference's, only the undownloadable ImageNet weights are random."""
+    import ref_models
+
+    model, _pre = ref_models.build_reference_model("ff_redweb", size)
+    return model
+
+
+def main():
+    import tensorflow as tf
+
+    tf.config.threading.set_intra_op_parallelism_threads(8)
+    tf.config.threading.set_inter_op_parallelism_threads(8)
+
+    size = int(os.environ.get("BASE_IMAGE_SIZE", 448))
+    batch = int(os.environ.get("BASE_BATCH", 4))
+    rpi, k = 100, 5
+    steps = int(os.environ.get("BASE_STEPS", 3))
+    model_name = os.environ.get("BASE_MODEL", "ff_effnet")
+
+    if model_name == "ff_redweb":
+        model = build_redweb_model(size)
+    else:
+        model = build_effnet_model(tf, size)
     opt = tf.keras.optimizers.Adam(1e-3, amsgrad=True)
 
     def listmle(labels, logits):
@@ -131,16 +152,38 @@ def main():
     step_time = (time.time() - t0) / steps
 
     ips = batch / (step_time + sample_time)
-    out = {
-        "tf2_cpu_images_per_sec": ips,
+    result = {
+        "images_per_sec": ips,
         "step_time_s": step_time,
         "host_sampling_time_s_per_batch": sample_time,
-        "config": {"size": size, "batch": batch, "rpi": rpi, "k": k},
+        "config": {"size": size, "batch": batch, "rpi": rpi, "k": k,
+                   "model": model_name},
     }
-    path = os.path.join(os.path.dirname(__file__), "..", "baseline_measured.json")
-    with open(os.path.abspath(path), "w") as f:
+    path = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "baseline_measured.json")
+    )
+    # merge: per-model denominators live side by side (bench.py reads the
+    # top-level ff_effnet key; the ff_redweb one gives BASELINE config #2
+    # its vs_baseline ratio)
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    if model_name == "ff_effnet":
+        out.update(
+            {
+                "tf2_cpu_images_per_sec": ips,
+                "step_time_s": step_time,
+                "host_sampling_time_s_per_batch": sample_time,
+                "config": result["config"],
+            }
+        )
+    else:
+        out[f"tf2_cpu_images_per_sec_{model_name}"] = ips
+        out[f"detail_{model_name}"] = result
+    with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps(out))
+    print(json.dumps({"model": model_name, **result}))
 
 
 if __name__ == "__main__":

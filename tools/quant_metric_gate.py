@@ -48,21 +48,32 @@ BUDGET = {
 }
 
 
-def _train(cfg_kwargs):
+def _make_ds(dataset, n, size, seed):
+    """'scenes' (default): piecewise-smooth depth with true occlusion
+    boundaries (data/scenes.py) — the edge metrics are DEFINED on it, so
+    the gate's edge rows carry signal instead of 'no valid images'
+    (VERDICT r04). 'synthetic': the original smooth fields."""
+    from pldepth_tpu.data import SceneDepthDataset, SyntheticDepthDataset
+
+    factory = SceneDepthDataset if dataset == "scenes" else SyntheticDepthDataset
+    return factory(n=n, image_size=size, seed=seed)
+
+
+def _train(cfg_kwargs, dataset="scenes", epochs=5):
     """The synthetic-convergence runbook config (docs/BENCH.md) in-process:
-    5 epochs over 128 synthetic images via the resident production path."""
+    N epochs over 128 images via the resident production path."""
     from pldepth_tpu.core.config import ExperimentConfig
-    from pldepth_tpu.data import SyntheticDepthDataset, build_resident_store
+    from pldepth_tpu.data import build_resident_store
     from pldepth_tpu.train import Trainer
 
     cfg = ExperimentConfig(
-        epochs=5, batch_size=8, ds_size=128, initial_lr=0.01,
+        epochs=epochs, batch_size=8, ds_size=128, initial_lr=0.01,
         ranking_size=5, rankings_per_image=100, sampling_type=1,
         data_resident=True, resident_chain_steps=8, **cfg_kwargs,
     )
     trainer = Trainer(cfg, steps_per_epoch=cfg.ds_size // cfg.batch_size)
     state = trainer.init_state()
-    ds = SyntheticDepthDataset(n=cfg.ds_size, image_size=cfg.input_size, seed=0)
+    ds = _make_ds(dataset, cfg.ds_size, cfg.input_size, seed=0)
     store = build_resident_store(ds, trainer.mesh)
     steps = cfg.epochs * (cfg.ds_size // cfg.batch_size)
     chain = trainer.resident_chain(cfg.resident_chain_steps)
@@ -79,58 +90,51 @@ def _train(cfg_kwargs):
     return trainer, state
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("weights", help="weights.npz path or 'train'")
-    ap.add_argument("--model", default="ff_effnet")
-    ap.add_argument("--n", type=int, default=104)
-    ap.add_argument("--size", type=int, default=448)
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--out", default="")
-    ap.add_argument("--save_weights", default="",
-                    help="with 'train': save the trained weights here for "
-                         "later reuse")
-    args = ap.parse_args()
+def run_gate(model="ff_effnet", size=448, n=104, batch=8, dataset="scenes",
+             weights="train", train_epochs=5, save_weights=""):
+    """The full gate protocol; returns the result dict (see module doc).
 
+    Importable — bench.py runs this as a standing per-round artifact
+    (VERDICT r04 #3: the TPU-emitter failure mode was guarded by someone
+    remembering to run this tool; now every bench run re-checks the
+    serving default's accuracy on the attached chip/runtime).
+    """
     import jax
 
-    from pldepth_tpu.core.cache import enable_compilation_cache
     from pldepth_tpu.core.config import ExperimentConfig
-    from pldepth_tpu.data import SyntheticDepthDataset
     from pldepth_tpu.eval.metrics import (
         depth_edge_metric, ndcg_at_k, ordinal_error, whdr,
     )
     from pldepth_tpu.train import Trainer
 
-    enable_compilation_cache()
-
-    if args.weights == "train":
+    if weights == "train":
         trainer, state = _train(
-            dict(model_name=args.model, input_size=args.size)
+            dict(model_name=model, input_size=size),
+            dataset=dataset, epochs=train_epochs,
         )
-        if args.save_weights:
+        if save_weights:
             from pldepth_tpu.train.checkpoint import save_weights_npz
 
-            save_weights_npz(args.save_weights, state)
-            print(f"# trained weights saved to {args.save_weights}")
+            save_weights_npz(save_weights, state)
+            print(f"# trained weights saved to {save_weights}")
     else:
         from pldepth_tpu.train.checkpoint import load_weights_npz
 
         cfg = ExperimentConfig(
-            model_name=args.model, input_size=args.size,
-            batch_size=args.batch, ranking_size=5, rankings_per_image=100,
+            model_name=model, input_size=size,
+            batch_size=batch, ranking_size=5, rankings_per_image=100,
             sampling_type=1,
         )
         trainer = Trainer(cfg, steps_per_epoch=1)
-        state = load_weights_npz(args.weights, trainer.init_state())
+        state = load_weights_npz(weights, trainer.init_state())
 
-    bs = args.batch
-    n = (args.n // bs) * bs
-    ds = SyntheticDepthDataset(n=n, image_size=args.size, seed=123)
+    bs = batch
+    n = (n // bs) * bs
+    ds = _make_ds(dataset, n, size, seed=123)
     imgs = np.stack([ds[i]["image"] for i in range(n)])
     gts = np.stack([ds[i]["gt"] for i in range(n)])
 
-    calib_ds = SyntheticDepthDataset(n=2 * bs, image_size=args.size, seed=7)
+    calib_ds = _make_ds(dataset, 2 * bs, size, seed=7)
     calib = [
         np.stack([calib_ds[i]["image"] for i in range(s, s + bs)])
         for s in range(0, 2 * bs, bs)
@@ -159,8 +163,9 @@ def main():
                 })
         print(f"# evaluated {s + bs}/{n}", flush=True)
 
-    result = {"model": args.model, "size": args.size, "n_images": n,
-              "weights": args.weights, "metrics": {}, "pass": True}
+    result = {"model": model, "size": size, "n_images": n,
+              "dataset": dataset, "weights": weights,
+              "metrics": {}, "pass": True}
     for metric in BUDGET:
         # Edge metrics are NaN on images where auto-Canny finds no edges in
         # one of the maps (0/0 in the reference formula, metrics.py:123-144;
@@ -191,6 +196,33 @@ def main():
             "pass": ok,
         }
         result["pass"] = result["pass"] and ok
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("weights", help="weights.npz path or 'train'")
+    ap.add_argument("--model", default="ff_effnet")
+    ap.add_argument("--n", type=int, default=104)
+    ap.add_argument("--size", type=int, default=448)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--dataset", default="scenes",
+                    choices=["scenes", "synthetic"])
+    ap.add_argument("--train_epochs", type=int, default=5)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--save_weights", default="",
+                    help="with 'train': save the trained weights here for "
+                         "later reuse")
+    args = ap.parse_args()
+
+    from pldepth_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    result = run_gate(
+        model=args.model, size=args.size, n=args.n, batch=args.batch,
+        dataset=args.dataset, weights=args.weights,
+        train_epochs=args.train_epochs, save_weights=args.save_weights,
+    )
     print(json.dumps(result, indent=2))
     if args.out:
         with open(args.out, "w") as f:
