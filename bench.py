@@ -218,12 +218,15 @@ def main() -> None:
         sampler_draw_method=os.environ.get("BENCH_DRAW", "auto"),
         decoder_head_ch=int(os.environ.get("BENCH_HEAD_CH", "32")),
         qres=os.environ.get("BENCH_QRES", ""),
+        qenc=os.environ.get("BENCH_QENC", ""),
     )
     trainer = Trainer(cfg, steps_per_epoch=1)
     state = trainer.init_state()
     ds = SyntheticDepthDataset(n=max(2 * batch, 16), image_size=image_size, seed=0)
     it = BatchIterator(ds, batch, seed=0)
     host_batch = next(it)
+    if cfg.qenc == "int8":
+        trainer.prepare_qenc(state, host_batch["image"])
 
     if os.environ.get("BENCH_MODE") == "infer":
         # serving benchmark: batched forward only, resident input
@@ -486,7 +489,14 @@ def main() -> None:
     base_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
     if os.path.exists(base_path):
         with open(base_path) as f:
-            baseline = json.load(f).get("tf2_cpu_images_per_sec")
+            bj = json.load(f)
+        # per-model denominator when measured (BASELINE config #2 gets its
+        # own TF2-CPU ff_redweb rate); the top-level key is the ff_effnet
+        # headline
+        baseline = bj.get(
+            f"tf2_cpu_images_per_sec_{cfg.model_name}",
+            bj.get("tf2_cpu_images_per_sec"),
+        )
     if not baseline:
         baseline = 0.25  # conservative stored estimate, see BASELINE.md notes
 
@@ -504,6 +514,7 @@ def main() -> None:
         and cfg.model_name == "ff_effnet"
         and image_size == 448
         and cfg.ranking_size == 5
+        and not cfg.qenc
     ):
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
@@ -530,6 +541,7 @@ def main() -> None:
     hist_key = (
         f"train/{cfg.model_name}/{image_size}/{batch}/K{cfg.ranking_size}"
         f"/freeze{int(cfg.freeze_encoder)}"
+        + (f"/qenc_{cfg.qenc}" if cfg.qenc else "")
     )
     norm, delta_pct, best_prior = _history_compare(
         hist_key, ips, calib_tflops,

@@ -94,6 +94,14 @@ def _reference_options(f):
                           "unchanged; gradients carry the compression noise "
                           "(bounded in tests/test_qres.py). ff_effnet "
                           "family; measured verdict in docs/BENCH.md"),
+        click.option("--qenc", default="",
+                     type=click.Choice(["", "bf16", "int8"]),
+                     help="frozen-encoder byte-floor probe: run the encoder "
+                          "SERVING-style (bn_fold bf16 / int8) inside the "
+                          "train step, training only the decoder. DEVIATES "
+                          "from reference freezing (encoder BN frozen too); "
+                          "requires --freeze_encoder; measured verdict in "
+                          "docs/BENCH.md"),
         click.option("--decoder_head_ch", default=32, type=click.INT,
                      help="width of the last two skip-concat decoder stages "
                           "(ff_effnet). 32 = reference architecture; 128 "

@@ -120,6 +120,15 @@ class ExperimentConfig:
     # residual compressed. Forward numerics unchanged; gradients perturbed
     # by the compression (tests/test_qres.py bounds). ff_effnet family.
     qres: str = ""
+    # Frozen-encoder byte-floor probe: run the encoder SERVING-style inside
+    # the train step ("bf16" = BN-folded inference graph, "int8" = the
+    # quantized serving graph) under stop_gradient; only the decoder
+    # trains. DEVIATES from the reference's BN-only-trainable freezing
+    # (encoder BN affine + running stats are frozen too); requires
+    # freeze_encoder, ff_effnet family. "int8" needs
+    # Trainer.prepare_qenc(state, calib_images) before the first step.
+    # Measured verdict in docs/BENCH.md.
+    qenc: str = ""
     # Collapse the final upsample+head conv into one half-res phase conv
     # (ops/fused_tail.py) — value-equal to compute-dtype rounding; saves the
     # full-res 32-channel tensor and the 1-channel-conv lane waste.

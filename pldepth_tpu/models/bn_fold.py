@@ -67,6 +67,18 @@ def _fold_dict(params: Dict, stats: Dict, eps: float) -> Dict:
     return out
 
 
+def fold_scope(params_scope: Dict, stats_scope: Dict, model_name: str,
+               scope: str = "encoder") -> Dict:
+    """Fold ONE top-level scope (e.g. just the encoder) — used by the
+    frozen-encoder qenc train path, which keeps the decoder live."""
+    eps = (
+        _EPS_RESNET
+        if model_name.startswith("ff_redweb") and scope == "encoder"
+        else _EPS_DEFAULT
+    )
+    return _fold_dict(params_scope, stats_scope, eps)
+
+
 def fold_variables(variables: Dict, model_name: str) -> Dict:
     """Return ``{"params": ...}`` for the ``bn_fold=True`` inference model.
 

@@ -57,6 +57,14 @@ class EffNetFullyFledged(nn.Module):
     # width of the decoder's last two stages; 32 = reference (see
     # core/config.py decoder_head_ch)
     head_ch: int = 32
+    # frozen-encoder byte-floor probe (core/config.py qenc): run the
+    # ENCODER serving-style inside the TRAIN step — "bf16" = BN-folded
+    # inference graph, "int8" = the quantized serving graph — under
+    # stop_gradient, training only the decoder. Deviates from the
+    # reference's BN-only-trainable freezing (encoder BN affine+stats are
+    # frozen too); measurement-first, gated by the same metric budgets as
+    # serving.
+    qenc: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False, pixels=None):
@@ -65,15 +73,19 @@ class EffNetFullyFledged(nn.Module):
             if self.remat
             else EfficientNetEncoder
         )
+        enc_train = train and not self.qenc
         top, taps = enc_cls(
             variant=self.variant,
             dtype=self.dtype,
             drop_connect_rate=self.drop_connect_rate,
-            bn_fold=self.bn_fold,
-            quant=self.quant,
+            bn_fold=self.bn_fold or self.qenc == "bf16",
+            quant=self.quant or ("int8" if self.qenc == "int8" else False),
             qres=self.qres,
             name="encoder",
-        )(x, train)
+        )(x, enc_train)
+        if self.qenc:
+            top = jax.lax.stop_gradient(top)
+            taps = jax.tree_util.tree_map(jax.lax.stop_gradient, taps)
         return SkipConcatDecoder(
             dtype=self.dtype, fused_tail=self.fused_tail,
             bn_fold=self.bn_fold, quant=self.quant, head_ch=self.head_ch,

@@ -88,6 +88,19 @@ class Trainer:
             fused_tail=cfg.fused_tail, head_ch=cfg.decoder_head_ch,
             qres=cfg.qres or None,
         )
+        self._qenc_module = None
+        self._qenc_enc_params = None
+        if cfg.qenc:
+            if cfg.qenc not in ("bf16", "int8"):
+                raise ValueError(f"qenc must be ''|'bf16'|'int8', got {cfg.qenc!r}")
+            if not cfg.freeze_encoder:
+                raise ValueError("qenc requires freeze_encoder (the probe "
+                                 "serves a FROZEN encoder in the train step)")
+            if cfg.qres:
+                raise ValueError("qenc and qres are mutually exclusive")
+            if "redweb" in cfg.model_name:
+                raise ValueError("qenc is implemented for the ff_effnet family")
+            self._qenc_module = self.model.module.clone(qenc=cfg.qenc)
         self.sampler_name = sampler_name_for_type(cfg.sampling_type)
         get_sampler(self.sampler_name)
         self.schedule = build_schedule(cfg, self.steps_per_epoch)
@@ -313,21 +326,64 @@ class Trainer:
                         params,
                         labels,
                     )
-                pred, updates = model.module.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    x,
-                    True,
-                    pixels,
-                    rngs={"droppath": jax.random.fold_in(key, 2)},
-                    mutable=["batch_stats"],
-                )
+                if cfg.qenc:
+                    # Serving-style frozen-encoder forward (qenc probe): the
+                    # encoder consumes BN-folded (bf16) or int8-quantized
+                    # (prepare_qenc) parameters under stop_gradient; only
+                    # decoder params/stats train. The bf16 fold runs inside
+                    # the jit from the (frozen, hence constant) encoder
+                    # params — per-channel math over ~MBs, negligible next
+                    # to the step's activation traffic.
+                    if cfg.qenc == "bf16":
+                        from pldepth_tpu.models.bn_fold import fold_scope
+
+                        enc_params = fold_scope(
+                            params["encoder"], state.batch_stats["encoder"],
+                            cfg.model_name,
+                        )
+                    else:  # int8: packed once by prepare_qenc
+                        if self._qenc_enc_params is None:
+                            raise RuntimeError(
+                                "qenc='int8' needs Trainer.prepare_qenc("
+                                "state, calib_images) before the first step"
+                            )
+                        enc_params = self._qenc_enc_params
+                    enc_params = jax.lax.stop_gradient(enc_params)
+                    stats_in = {
+                        k: v for k, v in state.batch_stats.items()
+                        if k != "encoder"
+                    }
+                    pred, updates = self._qenc_module.apply(
+                        {
+                            "params": {**params, "encoder": enc_params},
+                            "batch_stats": stats_in,
+                        },
+                        x,
+                        True,
+                        pixels,
+                        rngs={"droppath": jax.random.fold_in(key, 2)},
+                        mutable=["batch_stats"],
+                    )
+                    new_stats = {
+                        **state.batch_stats, **updates["batch_stats"]
+                    }
+                else:
+                    pred, updates = model.module.apply(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        x,
+                        True,
+                        pixels,
+                        rngs={"droppath": jax.random.fold_in(key, 2)},
+                        mutable=["batch_stats"],
+                    )
+                    new_stats = updates["batch_stats"]
                 if pixels is None:
                     loss = self._loss_from_pred(pred, rankings)
                 else:
                     loss = pl_ranking_loss_from_scores(
                         pred, rankings, impl=cfg.listmle_impl
                     )
-                return loss, updates["batch_stats"]
+                return loss, new_stats
 
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
@@ -645,6 +701,24 @@ class Trainer:
             calib_module,
             normalized,
         )
+
+    def prepare_qenc(self, state: TrainState, calib_images) -> None:
+        """qenc='int8' setup: calibrate + pack the ENCODER's int8 serving
+        parameters (the decoder stays live/trainable). Must run before the
+        first train step; the packed tree is captured as a jit constant at
+        trace time (the encoder is frozen, so it never changes)."""
+        if self.cfg.qenc != "int8":
+            raise ValueError("prepare_qenc applies to qenc='int8' only")
+        qvars = self.prepare_quant(state, calib_images)
+        self._qenc_enc_params = jax.device_put(qvars["params"]["encoder"])
+        # the packed tree changes what the traced step captures: drop any
+        # step compiled before preparation
+        self._train_step = None
+        self._train_step_fixed = None
+        self._raw_train_step = None
+        self._resident_step = None
+        self._raw_resident_step = None
+        self._resident_chains = {}
 
     def predict_quant(self, qvars: dict, images: jax.Array) -> jax.Array:
         """predict() on the int8 serving graph: every large conv (stem, all

@@ -117,8 +117,8 @@ def test_zeroshot_cli_diw_end_to_end(tmp_path):
     from pldepth_tpu.train import Trainer
     from pldepth_tpu.train.checkpoint import save_weights_npz
 
-    _fake_tree(tmp_path / "diw", n_images=4, size=(48, 48))
-    cfg = ExperimentConfig(model_name="ff_smoke", input_size=48,
+    _fake_tree(tmp_path / "diw", n_images=4, size=(64, 64))
+    cfg = ExperimentConfig(model_name="ff_smoke", input_size=64,
                            batch_size=4, compute_dtype="float32")
     trainer = Trainer(cfg, steps_per_epoch=1,
                       mesh=make_mesh(devices=jax.devices()[:1]))
@@ -127,7 +127,7 @@ def test_zeroshot_cli_diw_end_to_end(tmp_path):
 
     res = CliRunner().invoke(cli, [
         "zeroshot", "--model_name", "ff_smoke", "--load_model_path", weights,
-        "--input_size", "48", "--diw_root", str(tmp_path / "diw"),
+        "--input_size", "64", "--diw_root", str(tmp_path / "diw"),
     ], catch_exceptions=False)
     assert res.exit_code == 0, res.output
     out = json.loads(res.output)

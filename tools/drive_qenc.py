@@ -1,0 +1,105 @@
+"""Drive: qenc quality gate — does the +77% serving-style-encoder train
+step (qenc=bf16, docs/BENCH.md) cost accuracy?
+
+Protocol (mirrors the quant gate's convergence run): the standing 5-epoch
+/ 128-image / 448^2 resident-chain training run on structured scenes
+(tools/quant_metric_gate.py _train), once per variant:
+
+  base        — reference freezing (encoder BN affine trains, stats update)
+  qenc=bf16   — encoder fully frozen, BN-folded serving forward in-step
+  [qenc=int8] — optional (QENC_INT8=1): int8 serving encoder forward
+
+then identical held-out eval (104 scene images, seed 123): ordinal error,
+WHDR(0.03), NDCG@200, edge metrics. The probe is architecture-identical at
+inference time — only the training dynamics differ — so plain metric
+deltas on the same held-out set are the right gate.
+
+Run from the repo root (TPU): python -u tools/drive_qenc.py
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import faulthandler
+
+faulthandler.dump_traceback_later(2400, repeat=True)
+
+
+def run_variant(qenc: str):
+    import jax
+
+    from quant_metric_gate import _make_ds, _train
+
+    t0 = time.time()
+    trainer, state = _train(
+        dict(model_name="ff_effnet", input_size=448, qenc=qenc),
+        dataset="scenes", epochs=5,
+    )
+    train_s = time.time() - t0
+
+    from pldepth_tpu.eval.metrics import (
+        depth_edge_metric, ndcg_at_k, ordinal_error, whdr,
+    )
+
+    bs = 8
+    n = 104 // bs * bs
+    ds = _make_ds("scenes", n, 448, seed=123)
+    predict = trainer.jit_predict()
+    rows = []
+    for s in range(0, n, bs):
+        imgs = np.stack([ds[i]["image"] for i in range(s, s + bs)])
+        preds = np.asarray(jax.device_get(predict(state, imgs)), np.float32)
+        for j in range(bs):
+            p, g = preds[j], ds[s + j]["gt"]
+            eb, ec = depth_edge_metric(p, g)
+            rows.append(
+                {
+                    "ordinal_error": ordinal_error(p, g),
+                    "whdr_003": whdr(p, g, tau=0.03),
+                    "ndcg_200": ndcg_at_k(p, g, 200),
+                    "edge_boundary": eb,
+                    "edge_completeness": ec,
+                }
+            )
+    out = {"variant": qenc or "base", "train_wall_s": round(train_s, 1)}
+    for k in rows[0]:
+        v = np.array([r[k] for r in rows], np.float64)
+        v = v[np.isfinite(v)]
+        out[k] = round(float(v.mean()), 5) if len(v) else None
+        out[f"{k}_n"] = int(len(v))
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    from pldepth_tpu.core.cache import enable_compilation_cache
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)))
+    )
+    enable_compilation_cache()
+    results = [run_variant("")]
+    results.append(run_variant("bf16"))
+    if os.environ.get("QENC_INT8"):
+        results.append(run_variant("int8"))
+    base = results[0]
+    print("\n=== qenc quality gate (deltas vs base training) ===")
+    for r in results[1:]:
+        deltas = {
+            k: round(r[k] - base[k], 5)
+            for k in ("ordinal_error", "whdr_003", "ndcg_200",
+                      "edge_boundary", "edge_completeness")
+            if r.get(k) is not None and base.get(k) is not None
+        }
+        print(json.dumps({"variant": r["variant"], "deltas": deltas}))
+    with open("/tmp/qenc_gate.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,9 @@ def _train(cfg_kwargs, dataset="scenes", epochs=5):
     trainer = Trainer(cfg, steps_per_epoch=cfg.ds_size // cfg.batch_size)
     state = trainer.init_state()
     ds = _make_ds(dataset, cfg.ds_size, cfg.input_size, seed=0)
+    if cfg.qenc == "int8":
+        calib = np.stack([ds[i]["image"] for i in range(cfg.batch_size)])
+        trainer.prepare_qenc(state, calib)
     store = build_resident_store(ds, trainer.mesh)
     steps = cfg.epochs * (cfg.ds_size // cfg.batch_size)
     chain = trainer.resident_chain(cfg.resident_chain_steps)
