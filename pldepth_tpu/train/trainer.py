@@ -710,7 +710,17 @@ class Trainer:
         if self.cfg.qenc != "int8":
             raise ValueError("prepare_qenc applies to qenc='int8' only")
         qvars = self.prepare_quant(state, calib_images)
-        self._qenc_enc_params = jax.device_put(qvars["params"]["encoder"])
+        # Host round-trip, deliberately: quantize_variables passes
+        # unquantized leaves through as the SAME arrays as state.params —
+        # and the donating train step deletes those buffers on its first
+        # call. A later retrace (e.g. a uint8-image batch) would then try
+        # to embed deleted constants. Copies break the aliasing.
+        self._qenc_enc_params = jax.device_put(
+            jax.tree_util.tree_map(
+                lambda a: np.asarray(jax.device_get(a)),
+                qvars["params"]["encoder"],
+            )
+        )
         # the packed tree changes what the traced step captures: drop any
         # step compiled before preparation
         self._train_step = None
