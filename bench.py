@@ -524,7 +524,11 @@ def main() -> None:
                 model="ff_effnet", size=448,
                 n=int(os.environ.get("BENCH_QGATE_N", 48)), batch=8,
                 dataset="scenes", weights="train",
-                train_epochs=int(os.environ.get("BENCH_QGATE_EPOCHS", 3)),
+                # scenes need real training before the weights express the
+                # int8 failure mode the gate exists for (5 epochs leaves
+                # near-chance metrics); the extra epochs reuse the one
+                # compiled chain, ~seconds of device time each
+                train_epochs=int(os.environ.get("BENCH_QGATE_EPOCHS", 20)),
             )
             if not qgate.get("pass", False):
                 print(

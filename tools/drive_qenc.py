@@ -36,10 +36,20 @@ def run_variant(qenc: str):
     from quant_metric_gate import _make_ds, _train
 
     t0 = time.time()
-    trainer, state = _train(
-        dict(model_name="ff_effnet", input_size=448, qenc=qenc),
-        dataset="scenes", epochs=5,
-    )
+    # 5 epochs (the quant gate's budget) leaves scenes training at
+    # near-chance ordinal error (~0.49, loss 4.96->4.59) — scenes are much
+    # harder than the smooth fields. The gate needs a CONVERGED base to
+    # compare against; 40 epochs is ~640 steps ≈ a minute of device time.
+    epochs = int(os.environ.get("QENC_EPOCHS", 40))
+    kwargs = dict(model_name="ff_effnet", input_size=448, qenc=qenc)
+    if os.environ.get("QENC_PRETRAINED"):
+        # The decisive configuration: qenc's premise is a PRETRAINED
+        # frozen encoder (the reference's ImageNet workflow). At random
+        # init the gate measures 0.536-vs-0.326 ordinal error against
+        # base — decoder-only training has nothing to stand on. Re-run
+        # with QENC_PRETRAINED=<backbone.npz> where weights exist.
+        kwargs["pretrained_path"] = os.environ["QENC_PRETRAINED"]
+    trainer, state = _train(kwargs, dataset="scenes", epochs=epochs)
     train_s = time.time() - t0
 
     from pldepth_tpu.eval.metrics import (
