@@ -605,9 +605,11 @@ def active(rounds, split_num, sigma, pretrain_epochs, **kw):
               help="int8 post-training quantization for serving "
                    "(models/quantize.py; +7%% over bn_fold @448^2, metric "
                    "gate table in docs/BENCH.md). Default 'auto' = int8 "
-                   "unless --fused_encoder/--bn_fold override; '' = float "
-                   "bn_fold graph. Activation scales calibrate on the "
-                   "first input batch")
+                   "for the ff_effnet family (ff_redweb serves bn_fold "
+                   "float: the scenes gate measured ordering degradation, "
+                   "docs/BENCH.md) unless --fused_encoder/--bn_fold "
+                   "override; '' = float bn_fold graph. Activation scales "
+                   "calibrate on the first input batch")
 def predict(model_name, load_model_path, inputs, out_dir, input_size,
             batch_size, save_png, fused_encoder, bn_fold, quantize):
     """Batched depth-map inference (serving path): writes <name>_depth.npy
@@ -631,7 +633,8 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
     from pldepth_tpu.core.mesh import pad_to_batch, round_batch
 
     batch_size = round_batch(batch_size, trainer.mesh)
-    mode = Trainer.serving_mode(fused_encoder, bn_fold, quantize)
+    mode = Trainer.serving_mode(fused_encoder, bn_fold, quantize,
+                                model_name=model_name)
     predict_fn = trainer.jit_predict(fused=mode)
 
     if os.path.isdir(inputs):
@@ -697,9 +700,11 @@ def predict(model_name, load_model_path, inputs, out_dir, input_size,
 @click.option("--quantize", default="auto",
               type=click.Choice(["auto", "", "int8"]),
               help="int8 serving (models/quantize.py; checkpoint source "
-                   "only). Default 'auto' = int8 unless --fused_encoder/"
-                   "--bn_fold override; '' = float bn_fold graph. Scales "
-                   "calibrate over the first dispatched batches")
+                   "only). Default 'auto' = int8 for the ff_effnet family "
+                   "(ff_redweb serves bn_fold float per the scenes gate) "
+                   "unless --fused_encoder/--bn_fold override; '' = float "
+                   "bn_fold graph. Scales calibrate over the first "
+                   "dispatched batches")
 def serve(model_name, load_model_path, artifact, watch_dir, out_dir,
           input_size, batch_size, save_png, poll_interval, once,
           fused_encoder, bn_fold, quantize):
@@ -741,7 +746,8 @@ def serve(model_name, load_model_path, artifact, watch_dir, out_dir,
         trainer = Trainer(cfg, steps_per_epoch=1)
         state = load_weights_npz(load_model_path, trainer.init_state())
         batch_size = round_batch(batch_size, trainer.mesh)
-        mode = Trainer.serving_mode(fused_encoder, bn_fold, quantize)
+        mode = Trainer.serving_mode(fused_encoder, bn_fold, quantize,
+                                    model_name=model_name)
         predict_fn = trainer.jit_predict(fused=mode)
         if mode == "quant":
             # Lazy calibration (the daemon may start on an empty watch

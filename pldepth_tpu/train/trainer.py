@@ -742,15 +742,20 @@ class Trainer:
         return pred[..., 0] if pred.ndim == 4 else pred
 
     @staticmethod
-    def serving_mode(fused_encoder: bool, bn_fold: bool, quantize: str = "auto"):
+    def serving_mode(fused_encoder: bool, bn_fold: bool, quantize: str = "auto",
+                     model_name: str = "ff_effnet"):
         """The one precedence policy for the serving CLI flags.
 
-        ``quantize="auto"`` (the CLI default since round 4) serves int8 —
-        the fastest graph that passes the metric gate (+7.4% over bn_fold
-        at 448^2; quality loss <= 0.0004 ordinal error on both model
-        families, docs/BENCH.md "int8 metric gate") — unless the user
-        explicitly asked for another graph (``--fused_encoder true`` or
-        ``--bn_fold false``), which auto respects. Explicit
+        ``quantize="auto"`` (the CLI default since round 4) serves the
+        fastest graph whose ORDERING metrics pass the gate budgets
+        (docs/BENCH.md "int8 metric gate"): int8 for the ff_effnet family
+        (+7.4% over bn_fold at 448^2; ordinal/WHDR deltas within budget on
+        both smooth and structured-scene data), but **bn_fold float for
+        ff_redweb** — the round-5 structured-scenes gate measured ordinal
+        +0.004..0.008 / WHDR +0.008..0.020 ordering degradation for its
+        int8 graph at every achievable convergence level (the smooth-data
+        gate had masked it). Auto also respects an explicit other choice
+        (``--fused_encoder true`` or ``--bn_fold false``). Explicit
         ``--quantize int8`` wins over everything (it builds on the BN-fold
         internally); the fused Pallas encoder folds BN inside its kernels,
         so it supersedes (not composes with) the XLA-graph bn_fold.
@@ -763,7 +768,10 @@ class Trainer:
                     "Pallas encoder flag is ignored"
                 )
             return "quant"
-        if quantize == "auto" and not fused_encoder and bn_fold:
+        if (
+            quantize == "auto" and not fused_encoder and bn_fold
+            and "redweb" not in model_name
+        ):
             return "quant"
         return True if fused_encoder else ("bn_fold" if bn_fold else False)
 
