@@ -8,7 +8,8 @@ names, defaults, sampling_type codes). Commands:
             train on HR-WSI (or synthetic), SGDR schedule, Adam(amsgrad),
             post-train ordinal-error + NDCG@200 eval, weight export.
   eval    — test_data_eval.py equivalent: load weights, full metric report.
-  zeroshot— cross-dataset ordinal suite (Ibims/DIODE/Sintel/TUM).
+  zeroshot— cross-dataset ordinal suite (Ibims/DIODE/Sintel/TUM + DIW
+            human-pair WHDR).
   active  — active_PLDepth.py equivalent: optional pretrain/load + N
             edge-disagreement active-learning rounds.
   chi2    — chi2compare.py diagnostic: chi^2 informativeness of samplers.
@@ -18,7 +19,8 @@ names, defaults, sampling_type codes). Commands:
   export  — AOT StableHLO serving artifact via jax.export.
   dump    — offline (image, rankings) dump (active_learning/offline_data.py).
   analyze — sweep-trials analysis (bk-hyperopt/trials_visualize.py).
-  convert — Keras backbone weights → --pretrained_path npz.
+  convert — Keras backbone weights → --pretrained_path npz; --reverse
+            exports trained weights back to a Keras .h5.
 
 Run as ``python -m pldepth_tpu.cli <command> ...``.
 """
@@ -70,7 +72,9 @@ def _reference_options(f):
         click.option("--ds_size", default=None, type=click.INT),
         # --- extensions beyond the reference surface ---
         click.option("--dataset", default="synthetic",
-                     help="HR-WSI | synthetic | IBIMS | DIODE | SINTEL | TUM"),
+                     help="HR-WSI | synthetic | scenes (structured synthetic "
+                          "with occlusion boundaries) | IBIMS | DIODE | "
+                          "SINTEL | TUM"),
         click.option("--data_root", default="", help="dataset root directory"),
         click.option("--input_size", default=224, type=click.INT),
         click.option("--schedule", default="sgdr",
