@@ -108,6 +108,36 @@ def main():
         model = build_redweb_model(size)
     else:
         model = build_effnet_model(tf, size)
+
+    if os.environ.get("BASE_MODE") == "infer":
+        # Serving denominator: the reference's own pattern is per-image
+        # model.predict in eval/active loops (test_data_eval.py:73-80,
+        # active_learning_method.py:101) — measure exactly that.
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (1, size, size, 3)).astype(np.float32)
+        _ = model.predict(img, verbose=0)  # build/compile
+        n_i = int(os.environ.get("BASE_INFER_STEPS", 5))
+        t0 = time.time()
+        for _ in range(n_i):
+            _ = model.predict(img, verbose=0)
+        per_img = (time.time() - t0) / n_i
+        result = {
+            "images_per_sec": 1.0 / per_img,
+            "per_image_s": per_img,
+            "config": {"size": size, "model": model_name, "mode": "infer"},
+        }
+        path = os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..", "baseline_measured.json"))
+        out = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                out = json.load(f)
+        out[f"tf2_cpu_infer_images_per_sec_{model_name}"] = result["images_per_sec"]
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps({"model": model_name, **result}))
+        return
+
     opt = tf.keras.optimizers.Adam(1e-3, amsgrad=True)
 
     def listmle(labels, logits):
