@@ -223,10 +223,21 @@ def main() -> None:
     trainer = Trainer(cfg, steps_per_epoch=1)
     state = trainer.init_state()
     ds = SyntheticDepthDataset(n=max(2 * batch, 16), image_size=image_size, seed=0)
-    it = BatchIterator(ds, batch, seed=0)
+    # uint8 wire (image/mask as u8, device rescale): 4x less host->device
+    # bytes on the python streaming path — decisive through the slow
+    # tunnel; the f32 default preserves exact float synthetic values
+    u8_wire = bool(int(os.environ.get("BENCH_U8_WIRE", "0")))
+    if os.environ.get("BENCH_MODE") == "infer":
+        u8_wire = False  # serving normalize expects [0,1] floats
+    it = BatchIterator(ds, batch, seed=0, uint8_wire=u8_wire)
     host_batch = next(it)
     if cfg.qenc == "int8":
-        trainer.prepare_qenc(state, host_batch["image"])
+        # calibration expects [0,1] float images (normalize_images does not
+        # rescale u8) — undo the wire format if enabled
+        calib_imgs = host_batch["image"]
+        if calib_imgs.dtype == np.uint8:
+            calib_imgs = calib_imgs.astype(np.float32) / 255.0
+        trainer.prepare_qenc(state, calib_imgs)
 
     if os.environ.get("BENCH_MODE") == "infer":
         # serving benchmark: batched forward only, resident input

@@ -128,6 +128,11 @@ def _reference_options(f):
                      help="path to a .pldpack cache: pack the training split "
                           "once, then stream it through the native C++ "
                           "reader (decode-once data path)"),
+        click.option("--uint8_wire", default=False, type=click.BOOL,
+                     help="host streaming wire format: images/masks as "
+                          "uint8 (4x less host->device transfer, device "
+                          "rescale; exact for jpg/png-source data). The "
+                          "--pack_cache native path always uses this"),
         click.option("--data_resident", default=False, type=click.BOOL,
                      help="upload the whole train split to device HBM once "
                           "(6 bytes/pixel) and draw batches on device — "
@@ -299,7 +304,7 @@ def train(pack_cache="", run_name="", resume=False, **kw):
     else:
         train_iter = BatchIterator(
             train_ds, cfg.batch_size, seed=cfg.seed, start_step=start_step,
-            prefetch=cfg.prefetch_depth,
+            prefetch=cfg.prefetch_depth, uint8_wire=cfg.uint8_wire,
         )
     vfac = None
     if len(val_ds) >= cfg.batch_size:

@@ -80,6 +80,12 @@ class ExperimentConfig:
     # per-epoch permutation — strictly stronger than the reference's
     # shuffle(1024) window (hourglass_provider.py:60).
     prefetch_depth: int = 2
+    # Host streaming wire format: send images/masks as uint8 (gt stays
+    # f32), 4x less host->device transfer; the jitted step rescales on
+    # device. Exact for 8-bit-source data (jpg/png); quantizes synthetic
+    # float images to 1/255 steps — hence off by default for parity.
+    # The native packed reader (--pack_cache) always uses this format.
+    uint8_wire: bool = False
     # Device-resident training data (data/resident.py): upload the whole
     # train split to HBM once (6 bytes/pixel) and draw batches on device —
     # zero per-step host traffic; fed rate == device step rate. Batch

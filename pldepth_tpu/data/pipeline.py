@@ -60,12 +60,20 @@ class BatchIterator:
         shard_index: int = 0,
         num_shards: int = 1,
         start_step: int = 0,
+        uint8_wire: bool = False,
     ):
         """``shard_index``/``num_shards``: multi-host data sharding — each
         host draws the same seeded epoch permutation and takes a disjoint
         stride of it, so per-host batches form one coherent global batch
         (process i feeds its addressable devices under jax.distributed).
-        ``start_step``: skip the first N batches of the stream (resume)."""
+        ``start_step``: skip the first N batches of the stream (resume).
+        ``uint8_wire``: emit images/masks as uint8 (gt stays f32 — depth
+        supervision must not be quantized), 4x less host→device transfer;
+        the train step rescales on device (trainer.py). Off by default:
+        it quantizes image values to 1/255 steps, which is exact for
+        8-bit-source data (jpg/png) but changes synthetic float images —
+        the golden/parity tests feed f32. Same wire contract as the
+        native packed reader (data/packed.py uint8_wire)."""
         if len(ds) < batch_size * num_shards:
             raise ValueError(
                 f"dataset of {len(ds)} samples cannot fill batch "
@@ -79,6 +87,7 @@ class BatchIterator:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.start_step = start_step
+        self.uint8_wire = uint8_wire
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._stopped = False
@@ -122,12 +131,23 @@ class BatchIterator:
                 continue
         return False
 
+    def _to_wire(self, batch):
+        if not self.uint8_wire:
+            return batch
+        batch["image"] = np.clip(
+            batch["image"] * 255.0 + 0.5, 0, 255
+        ).astype(np.uint8)
+        if "mask" in batch:
+            batch["mask"] = (batch["mask"] > 0).astype(np.uint8)
+        return batch
+
     def _producer(self):
         try:
             for batch_idx in self._index_stream():
                 if self._stopped:
                     return
-                if not self._put(_stack([self.ds[int(i)] for i in batch_idx])):
+                batch = self._to_wire(_stack([self.ds[int(i)] for i in batch_idx]))
+                if not self._put(batch):
                     return
             self._put(None)
         except Exception as e:  # pragma: no cover

@@ -67,6 +67,26 @@ def test_batch_iterator_shapes_and_epochs():
     assert batches[0]["image"].shape == (4, 32, 32, 3)
 
 
+def test_batch_iterator_uint8_wire():
+    """uint8_wire: same stream, images/masks as u8 (4x less transfer; the
+    train step rescales on device), gt untouched f32 — identical wire
+    contract to the native packed reader."""
+    ds = SyntheticDepthDataset(n=8, image_size=32)
+    f32 = next(BatchIterator(ds, 4, seed=0, loop=False, shuffle=False))
+    u8 = next(BatchIterator(ds, 4, seed=0, loop=False, shuffle=False,
+                            uint8_wire=True))
+    assert u8["image"].dtype == np.uint8
+    assert u8["mask"].dtype == np.uint8
+    assert u8["gt"].dtype == np.float32
+    np.testing.assert_array_equal(u8["gt"], f32["gt"])
+    # u8 is the rounded 255-scale of the float image
+    np.testing.assert_array_equal(
+        u8["image"],
+        np.clip(f32["image"] * 255.0 + 0.5, 0, 255).astype(np.uint8),
+    )
+    np.testing.assert_array_equal(u8["mask"], (f32["mask"] > 0))
+
+
 def test_pregenerate_val_rankings_deterministic():
     ds = SyntheticDepthDataset(n=6, image_size=32)
     r1 = pregenerate_val_rankings(
