@@ -510,6 +510,10 @@ def main() -> None:
         )
     if not baseline:
         baseline = 0.25  # conservative stored estimate, see BASELINE.md notes
+    # The measured TF2-CPU denominators are K=5 configs; quoting a ratio
+    # for a K=100/500 (or qenc) run against them would be apples-to-oranges
+    # — label such runs with a same-K'd denominator only when we have one.
+    baseline_comparable = cfg.ranking_size == 5 and not cfg.qenc
 
     # --- standing int8 serving metric gate (VERDICT r04 #3): the XLA
     # depthwise-int8 TPU miscompile the r04 gate caught was compilation-
@@ -589,6 +593,7 @@ def main() -> None:
         "images_per_sec_resident_chain": ips_resident_chain,
         "loss_sample": float(jax.device_get(m.loss)),
         "baseline_tf2_cpu_images_per_sec": baseline,
+        "baseline_comparable": baseline_comparable,
         "devices": [str(d) for d in jax.devices()],
         "qgate": qgate,
     }
@@ -604,7 +609,11 @@ def main() -> None:
                 "metric": f"train images/sec/chip ({cfg.model_name}@{image_size}^2, K={cfg.ranking_size}, info-score)",
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(ips / baseline, 2),
+                # null (not a bogus ratio) when the run's config doesn't
+                # match the measured K=5 TF2-CPU denominator
+                "vs_baseline": (
+                    round(ips / baseline, 2) if baseline_comparable else None
+                ),
                 "img_s_per_calib_tflops": round(norm, 3) if norm else None,
                 "normalized_delta_vs_best_pct": (
                     round(delta_pct, 1) if delta_pct is not None else None
