@@ -94,12 +94,22 @@ def overlay_synthetic(params, batch_stats, names) -> Tuple[Any, Any]:
     return new_tree["params"], new_tree["batch_stats"]
 
 
-def save_backbone(path: str, params, batch_stats) -> None:
-    """Inverse of :func:`load_backbone` (used to snapshot converted weights)."""
+def save_backbone(path: str, params, batch_stats, prefixes=None) -> int:
+    """Inverse of :func:`load_backbone` (used to snapshot converted weights).
+
+    ``prefixes`` (optional tuple of flattened-name prefixes, e.g.
+    ``("params/encoder/", "batch_stats/encoder/")``) restricts the archive to
+    a subtree — drive_qenc's self-pretrain stage exports the encoder alone so
+    gate training starts the decoder from scratch. Returns the tensor count.
+    """
     tree = {"params": params, "batch_stats": batch_stats}
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     out: Dict[str, np.ndarray] = {}
     for path_tuple, leaf in flat:
         name = "/".join(str(getattr(p, "key", p)) for p in path_tuple)
-        out[name] = np.asarray(leaf)
+        if prefixes is None or name.startswith(tuple(prefixes)):
+            out[name] = np.asarray(leaf)
+    if not out:
+        raise ValueError(f"save_backbone: no tensors matched prefixes {prefixes}")
     np.savez(path, **out)
+    return len(out)

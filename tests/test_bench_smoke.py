@@ -38,12 +38,21 @@ def test_bench_main_end_to_end(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     line = json.loads(out[-1])
     assert line["unit"] == "images/sec/chip"
-    assert line["value"] > 0 and line["vs_baseline"] > 0
+    assert line["value"] > 0
+    # this smoke config runs K=3: it doesn't match the measured K=5 TF2-CPU
+    # denominator, so the ratio must be null, not apples-to-oranges
+    # (bench.py baseline_comparable)
+    assert line["vs_baseline"] is None
 
     detail = json.loads(open(detail_path).read())
     assert detail["images_per_sec_device"] > 0
     # the resident benches must have produced numbers, not been skipped
     assert detail["images_per_sec_resident_data"] > 0
-    assert detail["images_per_sec_resident_chain"] > 0
+    # the chain figure is a 2-vs-4-dispatch chained difference; bench.py
+    # deliberately nulls it when the single-sample delta is noise-negative
+    # or implies an impossible rate (ADVICE r04) — at CPU smoke scale the
+    # per-dispatch cost is tiny, so the noise guard legitimately fires
+    rc = detail["images_per_sec_resident_chain"]
+    assert rc is None or rc > 0
     # loss_sample samples the single train step (a scalar, not the chain)
     assert isinstance(detail["loss_sample"], float)

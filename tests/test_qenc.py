@@ -116,3 +116,39 @@ def test_qenc_bf16_resident_chain_compatible():
     s, m = chain(state, store.arrays)
     assert np.isfinite(np.asarray(jax.device_get(m.loss))).all()
     assert _leaves_equal(enc_p0, s.params["encoder"])
+
+
+def test_self_pretrain_encoder_export_roundtrip(tmp_path):
+    """The drive_qenc self-pretrain flow (tools/drive_qenc.py): export ONLY
+    the encoder subtree of a trained model as a backbone .npz, then start a
+    fresh qenc trainer from it — encoder arrives pretrained, decoder stays at
+    its own fresh random init (the gate trains it from scratch)."""
+    from pldepth_tpu.models.pretrained import save_backbone
+
+    donor = Trainer(_cfg(freeze_encoder=False), 1, mesh=_mesh1())
+    dstate = donor.init_state()
+    # perturb so "pretrained" is distinguishable from any seed-0 init
+    dstate = dstate.replace(
+        params=jax.tree.map(lambda x: x + 0.01, dstate.params)
+    )
+    path = str(tmp_path / "backbone.npz")
+    n = save_backbone(
+        path, jax.device_get(dstate.params), jax.device_get(dstate.batch_stats),
+        prefixes=("params/encoder/", "batch_stats/encoder/"),
+    )
+    assert n > 0
+    archive = np.load(path)
+    assert all(
+        k.startswith(("params/encoder/", "batch_stats/encoder/"))
+        for k in archive.files
+    )
+
+    fresh = Trainer(_cfg(qenc="bf16", pretrained_path=path), 1, mesh=_mesh1())
+    fstate = fresh.init_state()
+    assert _leaves_equal(fstate.params["encoder"], dstate.params["encoder"])
+    assert not _leaves_equal(fstate.params["decoder"], dstate.params["decoder"])
+
+    with pytest.raises(ValueError, match="no tensors matched"):
+        save_backbone(path, jax.device_get(dstate.params),
+                      jax.device_get(dstate.batch_stats),
+                      prefixes=("params/nonexistent/",))

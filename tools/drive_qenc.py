@@ -30,7 +30,46 @@ import faulthandler
 faulthandler.dump_traceback_later(2400, repeat=True)
 
 
-def run_variant(qenc: str):
+def self_pretrain(epochs: int, out_path: str = "/tmp/qenc_pretrained_backbone.npz"):
+    """Instantiate qenc's premise (a PRETRAINED frozen encoder) inside this
+    offline environment: train the FULL model — encoder kernels trainable
+    (freeze_encoder=False) — on a DISJOINT scenes corpus (seed 777; the gate
+    trains on seed 0 and evaluates on seed 123), then export only the encoder
+    subtree as a backbone .npz in models/pretrained.load_backbone's layout.
+
+    This is the in-environment analogue of the reference's ImageNet→HR-WSI
+    transfer (pl_hourglass.py:48 downloads ImageNet weights, :53-57 freezes
+    the encoder): pretrain corpus and target corpus are disjoint draws from
+    the same world, the encoder arrives with useful depth features, and the
+    gate then measures whether fully freezing it (qenc) costs accuracy
+    relative to the reference's BN-affine-trainable freezing.
+    """
+    import jax
+
+    from quant_metric_gate import _train
+
+    t0 = time.time()
+    trainer, state = _train(
+        dict(model_name="ff_effnet", input_size=448, freeze_encoder=False),
+        dataset="scenes", epochs=epochs, seed=777,
+    )
+    from pldepth_tpu.models.pretrained import save_backbone
+
+    n = save_backbone(
+        out_path, jax.device_get(state.params),
+        jax.device_get(state.batch_stats),
+        prefixes=("params/encoder/", "batch_stats/encoder/"),
+    )
+    print(json.dumps({
+        "self_pretrain": {"epochs": epochs, "seed": 777,
+                          "encoder_tensors": n,
+                          "wall_s": round(time.time() - t0, 1),
+                          "path": out_path},
+    }), flush=True)
+    return out_path
+
+
+def run_variant(qenc: str, trainer_seed: int = 0):
     import jax
 
     from quant_metric_gate import _make_ds, _train
@@ -41,7 +80,8 @@ def run_variant(qenc: str):
     # harder than the smooth fields. The gate needs a CONVERGED base to
     # compare against; 40 epochs is ~640 steps ≈ a minute of device time.
     epochs = int(os.environ.get("QENC_EPOCHS", 40))
-    kwargs = dict(model_name="ff_effnet", input_size=448, qenc=qenc)
+    kwargs = dict(model_name="ff_effnet", input_size=448, qenc=qenc,
+                  seed=trainer_seed)
     if os.environ.get("QENC_PRETRAINED"):
         # The decisive configuration: qenc's premise is a PRETRAINED
         # frozen encoder (the reference's ImageNet workflow). At random
@@ -76,7 +116,8 @@ def run_variant(qenc: str):
                     "edge_completeness": ec,
                 }
             )
-    out = {"variant": qenc or "base", "train_wall_s": round(train_s, 1)}
+    out = {"variant": (qenc or "base") + (f"@seed{trainer_seed}" if trainer_seed else ""),
+           "train_wall_s": round(train_s, 1)}
     for k in rows[0]:
         v = np.array([r[k] for r in rows], np.float64)
         v = v[np.isfinite(v)]
@@ -93,10 +134,22 @@ def main():
         0, os.path.join(os.path.dirname(os.path.abspath(__file__)))
     )
     enable_compilation_cache()
+    if os.environ.get("QENC_SELFPRETRAIN"):
+        # Decisive mode: build the pretrained encoder here (disjoint scenes
+        # corpus), then gate base-vs-qenc from that shared init.
+        epochs = int(os.environ.get("QENC_PRETRAIN_EPOCHS", 40))
+        os.environ["QENC_PRETRAINED"] = self_pretrain(epochs)
     results = [run_variant("")]
-    results.append(run_variant("bf16"))
-    if os.environ.get("QENC_INT8"):
-        results.append(run_variant("int8"))
+    if not os.environ.get("QENC_ONLY_SEEDS"):
+        results.append(run_variant("bf16"))
+        if os.environ.get("QENC_INT8"):
+            results.append(run_variant("int8"))
+    for s in os.environ.get("QENC_BASE_SEEDS", "").split(","):
+        # noise floor: base re-runs with a different trainer seed (decoder
+        # init + sampling rng) — the base-vs-base metric spread is the scale
+        # against which the qenc deltas should be read
+        if s.strip():
+            results.append(run_variant("", trainer_seed=int(s)))
     base = results[0]
     print("\n=== qenc quality gate (deltas vs base training) ===")
     for r in results[1:]:

@@ -70,9 +70,11 @@ def _make_ds(dataset, n, size, seed):
     return factory(n=n, image_size=size, seed=seed)
 
 
-def _train(cfg_kwargs, dataset="scenes", epochs=5):
+def _train(cfg_kwargs, dataset="scenes", epochs=5, seed=0):
     """The synthetic-convergence runbook config (docs/BENCH.md) in-process:
-    N epochs over 128 images via the resident production path."""
+    N epochs over 128 images via the resident production path. ``seed``
+    selects the training corpus (drive_qenc's self-pretrain stage uses a
+    disjoint seed so pretraining and gate-training see different images)."""
     from pldepth_tpu.core.config import ExperimentConfig
     from pldepth_tpu.data import build_resident_store
     from pldepth_tpu.train import Trainer
@@ -84,7 +86,7 @@ def _train(cfg_kwargs, dataset="scenes", epochs=5):
     )
     trainer = Trainer(cfg, steps_per_epoch=cfg.ds_size // cfg.batch_size)
     state = trainer.init_state()
-    ds = _make_ds(dataset, cfg.ds_size, cfg.input_size, seed=0)
+    ds = _make_ds(dataset, cfg.ds_size, cfg.input_size, seed=seed)
     if cfg.qenc == "int8":
         calib = np.stack([ds[i]["image"] for i in range(cfg.batch_size)])
         trainer.prepare_qenc(state, calib)
