@@ -111,11 +111,20 @@ def _history_compare(key: str, ips: float, calib_tflops, path: str):
     not a regression). Normalizing by the same-window matmul calibration
     makes rounds comparable: img/s per calibrated TFLOP/s. This appends the
     run to bench_history.jsonl (committed) and returns
-    (normalized, delta_vs_best_pct, best_prior) for the same config key —
-    delta < -5% means the *code* (not the chip) got slower.
+    (normalized, delta_vs_best_pct, best_prior, raw_delta_vs_best_pct)
+    for the same config key.
+
+    Outlier guard: the headline step is HBM-bound, so its rate does NOT
+    track the matmul calibration (observed 2026-08-22: five runs at
+    398.4-398.7 img/s while calibration wandered 136.6-161.5 TFLOP/s — the
+    136.6 window's normalized 2.90 was an artifact of the denominator, not
+    a faster run, and made every healthy run read "-12% vs best").
+    A record whose calibration sits >8% below the same-key median cannot
+    set the normalized record. The RAW delta vs the best recorded raw rate
+    is returned alongside; a real code regression shows in both.
     """
     norm = (ips / calib_tflops) if (calib_tflops and ips) else None
-    best = None
+    recs = []
     try:
         with open(path) as f:
             for line in f:
@@ -123,15 +132,42 @@ def _history_compare(key: str, ips: float, calib_tflops, path: str):
                 if not line:
                     continue
                 rec = json.loads(line)
-                if rec.get("key") == key and rec.get("normalized"):
-                    if best is None or rec["normalized"] > best["normalized"]:
-                        best = rec
+                if rec.get("key") == key:
+                    recs.append(rec)
     except FileNotFoundError:
         pass
+    calibs = sorted(
+        r["calib_tflops"] for r in recs
+        if r.get("calib_tflops") and r.get("normalized")
+    )
+    med_calib = calibs[len(calibs) // 2] if calibs else None
+    best = None
+    for r in recs:
+        if not r.get("normalized"):
+            continue
+        if (
+            med_calib
+            and r.get("calib_tflops")
+            and r["calib_tflops"] < 0.92 * med_calib
+        ):
+            continue  # low-calibration window: inflated ratio, not a record
+        if best is None or r["normalized"] > best["normalized"]:
+            best = r
+    # raw comparison only across calibrated (device) records — CPU smoke
+    # runs record calib null and would make cross-backend raw deltas
+    best_raw = max(
+        (r["images_per_sec"] for r in recs
+         if r.get("images_per_sec") and r.get("calib_tflops")),
+        default=None,
+    )
+    raw_delta_pct = (
+        100.0 * (ips / best_raw - 1.0)
+        if (ips and best_raw and calib_tflops) else None
+    )
     delta_pct = None
     if norm is not None and best is not None:
         delta_pct = 100.0 * (norm / best["normalized"] - 1.0)
-        if delta_pct < -5.0:
+        if delta_pct < -5.0 and (raw_delta_pct is None or raw_delta_pct < -2.0):
             print(
                 f"# WARNING: calibration-normalized throughput dropped "
                 f"{-delta_pct:.1f}% vs best recorded ({best['normalized']:.3f}"
@@ -151,7 +187,7 @@ def _history_compare(key: str, ips: float, calib_tflops, path: str):
             f.write(json.dumps(rec) + "\n")
     except OSError:
         pass
-    return norm, delta_pct, best
+    return norm, delta_pct, best, raw_delta_pct
 
 
 def main() -> None:
@@ -298,7 +334,7 @@ def main() -> None:
         )
         ips_inf = batch / st
         hist_key = f"infer/{cfg.model_name}/{image_size}/{batch}/{graph}"
-        norm, delta_pct, _ = _history_compare(
+        norm, delta_pct, _, _raw_d = _history_compare(
             hist_key, ips_inf, calib_tflops,
             os.path.join(os.path.dirname(__file__), "bench_history.jsonl"),
         )
@@ -385,6 +421,62 @@ def main() -> None:
                 step_time, max((med(f_hi) - med(f_lo)) / (n_hi - n_lo), 1e-6)
             )
         ips = batch / step_time
+
+    # --- qenc=bf16 rate (standing artifact): the serving-style frozen
+    # encoder train step is the repo's biggest measured training win (+77%,
+    # quality-gated at the pretrained premise — docs/BENCH.md). Re-measure
+    # it each headline round so the claim tracks the chip/runtime, the same
+    # way the qgate re-checks int8 serving. Headline config only; skip with
+    # BENCH_SKIP_QENC=1.
+    ips_qenc = None
+    if (
+        not os.environ.get("BENCH_SKIP_QENC")
+        and cfg.model_name == "ff_effnet"
+        and cfg.freeze_encoder
+        and not cfg.qenc
+        and not os.environ.get("BENCH_MODE")
+        and jax.default_backend() not in ("cpu",)
+    ):
+        try:
+            trainer_q = Trainer(
+                cfg.replace(qenc="bf16"), steps_per_epoch=1, mesh=trainer.mesh
+            )
+            state_q = trainer_q.init_state()
+            batch_q = trainer_q.shard_batch(host_batch)
+
+            def chain_q(n):
+                def f(st, bt):
+                    def body(_, carry):
+                        st2, acc = carry
+                        st2, m2 = trainer_q.train_step(st2, bt)
+                        return (st2, acc + m2.loss)
+                    _, acc = jax.lax.fori_loop(0, n, body, (st, jnp.float32(0)))
+                    return acc
+                return jax.jit(f)
+
+            fq_lo, fq_hi = chain_q(n_lo), chain_q(n_hi)
+            _ = float(fq_lo(state_q, batch_q))  # compile
+            _ = float(fq_hi(state_q, batch_q))
+
+            def med_q(f):
+                ts = []
+                for _ in range(3):
+                    t0 = time.time()
+                    _ = float(f(state_q, batch_q))
+                    ts.append(time.time() - t0)
+                return float(np.median(ts))
+
+            step_q = max((med_q(fq_hi) - med_q(fq_lo)) / (n_hi - n_lo), 1e-6)
+            ips_qenc = batch / step_q
+            _history_compare(
+                f"train/{cfg.model_name}/{image_size}/{batch}"
+                f"/K{cfg.ranking_size}/freeze1/qenc_bf16",
+                ips_qenc, calib_tflops,
+                os.path.join(os.path.dirname(__file__), "bench_history.jsonl"),
+            )
+            del trainer_q, state_q, batch_q, fq_lo, fq_hi
+        except Exception as e:  # keep the bench robust
+            print(f"# qenc rate bench skipped: {e}", file=sys.stderr)
 
     # --- with host input pipeline (python iterator) ---
     t0 = time.time()
@@ -562,7 +654,7 @@ def main() -> None:
         f"/freeze{int(cfg.freeze_encoder)}"
         + (f"/qenc_{cfg.qenc}" if cfg.qenc else "")
     )
-    norm, delta_pct, best_prior = _history_compare(
+    norm, delta_pct, best_prior, raw_delta_pct = _history_compare(
         hist_key, ips, calib_tflops,
         os.path.join(os.path.dirname(__file__), "bench_history.jsonl"),
     )
@@ -581,6 +673,7 @@ def main() -> None:
         "images_per_sec_device": ips,
         "img_s_per_calib_tflops": norm,
         "normalized_delta_vs_best_pct": delta_pct,
+        "raw_delta_vs_best_pct": raw_delta_pct,
         "normalized_best_prior": best_prior,
         "step_time_ms": step_time * 1000.0,
         "matmul_calibration_tflops": calib_tflops,
@@ -591,6 +684,7 @@ def main() -> None:
         "images_per_sec_with_native_pipeline": ips_native,
         "images_per_sec_resident_data": ips_resident,
         "images_per_sec_resident_chain": ips_resident_chain,
+        "images_per_sec_qenc_bf16": ips_qenc,
         "loss_sample": float(jax.device_get(m.loss)),
         "baseline_tf2_cpu_images_per_sec": baseline,
         "baseline_comparable": baseline_comparable,
@@ -617,6 +711,9 @@ def main() -> None:
                 "img_s_per_calib_tflops": round(norm, 3) if norm else None,
                 "normalized_delta_vs_best_pct": (
                     round(delta_pct, 1) if delta_pct is not None else None
+                ),
+                "raw_delta_vs_best_pct": (
+                    round(raw_delta_pct, 1) if raw_delta_pct is not None else None
                 ),
             }
         )

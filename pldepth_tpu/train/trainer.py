@@ -101,6 +101,16 @@ class Trainer:
             if "redweb" in cfg.model_name:
                 raise ValueError("qenc is implemented for the ff_effnet family")
             self._qenc_module = self.model.module.clone(qenc=cfg.qenc)
+        elif (cfg.pretrained_path and cfg.freeze_encoder
+              and "redweb" not in cfg.model_name and not cfg.qres):
+            # exactly qenc's proven premise (docs/BENCH.md "Frozen-encoder
+            # serving-style forward": +77% step throughput, metric deltas
+            # inside the trainer-seed noise floor with a pretrained encoder)
+            log.info(
+                "pretrained frozen encoder detected: --qenc bf16 runs the "
+                "encoder serving-style in the train step (+77% measured at "
+                "the headline config, quality-gated at this premise — "
+                "docs/BENCH.md)")
         self.sampler_name = sampler_name_for_type(cfg.sampling_type)
         get_sampler(self.sampler_name)
         self.schedule = build_schedule(cfg, self.steps_per_epoch)

@@ -148,6 +148,28 @@ def test_self_pretrain_encoder_export_roundtrip(tmp_path):
     assert _leaves_equal(fstate.params["encoder"], dstate.params["encoder"])
     assert not _leaves_equal(fstate.params["decoder"], dstate.params["decoder"])
 
+def test_pretrained_frozen_hints_qenc(tmp_path, caplog):
+    """A pretrained frozen encoder WITHOUT qenc is exactly qenc's proven
+    premise — the trainer should point at the measured option."""
+    import logging
+
+    from pldepth_tpu.models.pretrained import save_backbone
+
+    donor = Trainer(_cfg(freeze_encoder=False), 1, mesh=_mesh1())
+    dstate = donor.init_state()
+    path = str(tmp_path / "backbone.npz")
+    save_backbone(
+        path, jax.device_get(dstate.params), jax.device_get(dstate.batch_stats),
+        prefixes=("params/encoder/", "batch_stats/encoder/"),
+    )
+    with caplog.at_level(logging.INFO, logger="pldepth_tpu.train.trainer"):
+        Trainer(_cfg(pretrained_path=path), 1, mesh=_mesh1())
+    assert any("--qenc bf16" in m for m in caplog.messages)
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="pldepth_tpu.train.trainer"):
+        Trainer(_cfg(qenc="bf16", pretrained_path=path), 1, mesh=_mesh1())
+    assert not any("--qenc bf16 runs" in m for m in caplog.messages)
+
     with pytest.raises(ValueError, match="no tensors matched"):
         save_backbone(path, jax.device_get(dstate.params),
                       jax.device_get(dstate.batch_stats),
